@@ -1,0 +1,94 @@
+"""Configuration dataclasses for the MoCoPCI-TPU framework.
+
+The reference (``/root/reference``) hard-codes every model hyperparameter in module
+constructors (``models/m_models/mocopci.py:741-796``) and exposes only the training
+recipe via argparse (``train.py:18-37``).  Here everything is collected into two
+frozen dataclasses so that (a) the exact reference defaults are reproducible and
+(b) tiny configurations can be instantiated for unit tests and multi-chip dry runs
+with fully static shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture configuration.
+
+    Defaults mirror the reference exactly:
+      - pyramid sizes 8192/2048/512/256/64  (``mocopci.py:424-436``)
+      - encoder channels 32/64/128/256/256  (``mocopci.py:420-436``)
+      - kNN sizes: 32 neighbours for encoder grouping (``feat_nei=32``,
+        ``mocopci.py:417``), 32 for cross/flow layers (``flow_nei=32``,
+        ``mocopci.py:744``), 16 for the refine-head point transformer
+        (``pointT_layer2.py:38``), 32 for the fusion head (``mocopci.py:1047``).
+      - frame timestamps hard-coded forward/backward (``mocopci.py:824-825``).
+    """
+
+    npoints: int = 8192
+    # FPS pyramid (levels 1..4). Reference hard-codes these for npoints=8192.
+    pyramid: Tuple[int, int, int, int] = (2048, 512, 256, 64)
+    # number of intermediate frames predicted in one shot (``inter_num=3``)
+    n_frames: int = 3
+    # encoder output channels per level (``mocopci.py:420-436``)
+    enc_channels: Tuple[int, int, int, int, int] = (32, 64, 128, 256, 256)
+    weightnet: int = 8
+    feat_nei: int = 32       # encoder kNN group size
+    flow_nei: int = 32       # cross / bidirectional / flow-embedding kNN size
+    refine_k: int = 16       # point-transformer kNN in refine head
+    fusion_k: int = 32       # kNN-softmax fusion neighbourhood
+    # hard-coded frame timestamps (``mocopci.py:824-825``)
+    t_forward: Tuple[float, ...] = (0.0, 0.41666666666666663, 0.5, 0.5833333333333333, 1.0)
+    t_backward: Tuple[float, ...] = (1.0, 0.5833333333333333, 0.5, 0.41666666666666663, 0.0)
+    # dropout rates of the attention decoder blocks (``mocopci.py:166-168, 781-783``)
+    attn_drop: float = 0.05
+    proj_drop: float = 0.05
+    drop_path: float = 0.04
+    # refine head downsample size (``PointConvD(2048, ...)``, ``mocopci.py:762``)
+    refine_npoint: int = 2048
+
+    @property
+    def levels(self) -> Tuple[int, int, int, int, int]:
+        return (self.npoints,) + self.pyramid
+
+    def validate(self) -> None:
+        n0, (n1, n2, n3, n4) = self.npoints, self.pyramid
+        assert n0 >= n1 >= n2 >= n3 >= n4 >= 1
+        assert self.refine_npoint <= n0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe. Defaults = reference recipe (``train.py:58, 86-99, 106``)."""
+
+    batch_size: int = 2
+    epochs: int = 400
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    lr_step: int = 15          # StepLR step_size
+    lr_gamma: float = 0.8      # StepLR gamma
+    lr_clip: float = 5e-5      # LEARNING_RATE_CLIP (train.py:58)
+    grad_clip: float = 2.0     # clip_grad_norm_ (train.py:166)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    seed: int = 0
+    # loss weights (train.py:142-160)
+    alpha: Tuple[float, float, float, float] = (1.0, 0.8, 0.4, 0.2)
+    w_straight: float = 0.5
+    w_multi: float = 0.25
+
+
+def tiny_model_config(npoints: int = 256) -> ModelConfig:
+    """A small config with the same structure, for tests and CPU dry runs."""
+    return ModelConfig(
+        npoints=npoints,
+        pyramid=(npoints // 4, npoints // 16, npoints // 32, max(npoints // 128, 4)),
+        feat_nei=8,
+        flow_nei=8,
+        refine_k=4,
+        fusion_k=8,
+        refine_npoint=npoints // 4,
+    )

@@ -1,0 +1,73 @@
+"""Chamfer distance — the training loss of the reference.
+
+Replaces ``pytorch3d.loss.chamfer_distance`` as used by ``chamfer_loss``
+(ref ``models/utils.py:36-45``): bidirectional squared-distance Chamfer,
+mean over points in each direction, the two directions summed, then mean over
+the batch.
+
+Two implementations:
+  - ``chamfer_distance``: dense (B, N, M) distance matrix; XLA fuses the min
+    reduction into the matmul epilogue.  Fine up to 8192² per batch element.
+  - ``chamfer_distance_blocked``: chunks the query axis with ``lax.map`` so the
+    peak memory is (B, block, M); used for stress sizes (16k-32k points).
+
+Both are differentiable (min picks the argmin subgradient, identical to the
+reference's autograd behaviour).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mocopci_tpu.ops.distance import square_distance
+
+
+def _directed_min(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """min over dst of squared distance, per src point: (B, N)."""
+    return jnp.min(square_distance(src, dst), axis=-1)
+
+
+@jax.jit
+def chamfer_distance(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
+    """Bidirectional Chamfer distance, scalar (batch mean).
+
+    Args:
+      pc1: (B, N, 3)
+      pc2: (B, M, 3)
+    """
+    d12 = jnp.mean(_directed_min(pc1, pc2), axis=1)  # (B,)
+    d21 = jnp.mean(_directed_min(pc2, pc1), axis=1)
+    return jnp.mean(d12 + d21)
+
+
+@jax.jit
+def chamfer_distance_per_sample(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
+    """Per-sample bidirectional Chamfer: (B,). Used by the eval loop."""
+    d12 = jnp.mean(_directed_min(pc1, pc2), axis=1)
+    d21 = jnp.mean(_directed_min(pc2, pc1), axis=1)
+    return d12 + d21
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def chamfer_distance_blocked(pc1: jax.Array, pc2: jax.Array, block: int = 2048) -> jax.Array:
+    """Memory-bounded Chamfer for large clouds.
+
+    Chunks the query axis so only a (B, block, M) slab is live at a time.
+    N and M must be multiples of ``block`` divisors; static shapes only.
+    """
+
+    def directed(src, dst):
+        B, N, _ = src.shape
+        nb = max(N // block, 1)
+        chunks = src.reshape(B, nb, N // nb, 3).transpose(1, 0, 2, 3)
+
+        def one(chunk):  # (B, n_c, 3)
+            return jnp.min(square_distance(chunk, dst), axis=-1)
+
+        mins = lax.map(one, chunks)  # (nb, B, n_c)
+        return jnp.mean(mins.transpose(1, 0, 2).reshape(B, N), axis=1)
+
+    return jnp.mean(directed(pc1, pc2) + directed(pc2, pc1))

@@ -1,0 +1,93 @@
+"""Pairwise distances and k-nearest-neighbour selection.
+
+TPU-native replacements for the dense kNN machinery of the reference:
+  - ``square_distance``      (ref ``models/pointconv_util.py:92-97`` /
+    ``models/m_models/mocopci.py:1130-1155``)
+  - ``cosine_distance``      (ref ``models/pointconv_util.py:111-127``)
+  - ``knn``/``knn_cosine``   (ref ``knn_point``/``knn_point_cosine``,
+    ``models/pointconv_util.py:129-153``)
+
+Everything is channels-last ``(B, N, C)`` and static-shaped, so the whole
+pipeline stays on device.  The distance matrix is computed with one matmul
+(MXU) plus rank-1 corrections; selection uses ``jax.lax.top_k`` on the negated
+distances.  The reference's ``torch.topk(..., sorted=False)`` returns the same
+*set* of neighbours in unspecified order; every consumer on the live path is
+permutation-invariant over the k axis (max-pool / softmax / inverse-distance
+weighting), so sorted order here is semantically identical.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distance.
+
+    Args:
+      src: (B, N, C)
+      dst: (B, M, C)
+    Returns:
+      (B, N, M) squared distances.
+    """
+    # -2 src·dstᵀ rides the MXU; the squared-norm terms are rank-1 corrections
+    # that XLA fuses into the same loop.  Precision HIGHEST keeps the matmul in
+    # fp32 on TPU — kNN index selection is sensitive to distance error, and the
+    # default bf16 pass gives ~1e-1 relative error on squared distances.
+    d = -2.0 * jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = d + jnp.sum(src * src, axis=-1, keepdims=True)
+    d = d + jnp.sum(dst * dst, axis=-1)[:, None, :]
+    return d
+
+
+def cosine_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """1 - cosine similarity with the reference's eps (=1e-8) normalisation."""
+    src = src * jax.lax.rsqrt(jnp.sum(src * src, axis=-1, keepdims=True) + 1e-8)
+    dst = dst * jax.lax.rsqrt(jnp.sum(dst * dst, axis=-1, keepdims=True) + 1e-8)
+    return 1.0 - jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
+    """Indices of the k smallest entries along the last axis. (B, N, k) int32."""
+    _, idx = jax.lax.top_k(-dists, k)
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def knn(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
+    """Euclidean k-NN: for each query point the k nearest reference points.
+
+    Mirrors ``knn_point(nsample, xyz=ref, new_xyz=query)``
+    (``models/pointconv_util.py:129-140``).
+
+    Args:
+      k: number of neighbours (static).
+      ref:   (B, M, C) points searched over.
+      query: (B, N, C) query points.
+    Returns:
+      (B, N, k) int32 indices into ``ref``.
+    """
+    return _topk_min_indices(square_distance(query, ref), k)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def knn_cosine(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
+    """Cosine-distance k-NN in feature space.
+
+    Mirrors ``knn_point_cosine`` (``models/pointconv_util.py:142-153``).
+    """
+    return _topk_min_indices(cosine_distance(query, ref), k)

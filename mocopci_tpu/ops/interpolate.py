@@ -1,0 +1,93 @@
+"""3-NN inverse-distance interpolation, upsampling, and warping.
+
+TPU-native equivalents of:
+  - ``three_nn`` / ``three_interpolate`` (ref CUDA
+    ``pointnet2/src/interpolate_gpu.cu:9-161``) — exposed as ``three_interpolate``
+    for API completeness (the live model path re-implements the same math with
+    dense kNN, which is what ``upsample`` below does).
+  - ``UpsampleFlow`` (ref ``models/pointconv_util.py:1193-1212``)
+  - ``PointWarping`` (ref ``models/pointconv_util.py:1163-1191``)
+
+All functions are channels-last ``(B, N, C)`` and differentiable; the gathers'
+backward pass is a deterministic segment-sum (vs. the reference's atomicAdd).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mocopci_tpu.ops.distance import knn
+from mocopci_tpu.ops.sampling import group
+
+
+def _inverse_distance_weights(
+    query_xyz: jax.Array, ref_xyz: jax.Array, knn_idx: jax.Array
+) -> jax.Array:
+    """1/d weights over k neighbours, normalised; d clamped at 1e-10.
+
+    Matches ``UpsampleFlow``'s ``torch.norm(...).clamp(min=1e-10)`` weighting
+    (``pointconv_util.py:1205-1208``).
+    """
+    B, N, _ = query_xyz.shape
+    neigh = group(ref_xyz, knn_idx)                     # (B, N, k, 3)
+    diff = neigh - query_xyz[:, :, None, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    dist = jnp.maximum(dist, 1e-10)
+    w = 1.0 / dist
+    return w / jnp.sum(w, axis=-1, keepdims=True)       # (B, N, k)
+
+
+def upsample(
+    dense_xyz: jax.Array, sparse_xyz: jax.Array, sparse_feat: jax.Array, k: int = 3
+) -> jax.Array:
+    """Interpolate per-point vectors from a sparse to a dense point set.
+
+    Ref ``UpsampleFlow`` (``pointconv_util.py:1193-1212``): 3-NN in the sparse
+    cloud around each dense point, inverse-distance weighted average.
+
+    Args:
+      dense_xyz:  (B, N, 3)
+      sparse_xyz: (B, S, 3)
+      sparse_feat:(B, S, C)
+    Returns:
+      (B, N, C)
+    """
+    idx = knn(k, sparse_xyz, dense_xyz)
+    w = _inverse_distance_weights(dense_xyz, sparse_xyz, idx)
+    feats = group(sparse_feat, idx)                     # (B, N, k, C)
+    return jnp.sum(w[..., None] * feats, axis=2)
+
+
+def three_interpolate(
+    dense_xyz: jax.Array, sparse_xyz: jax.Array, sparse_feat: jax.Array
+) -> jax.Array:
+    """three_nn + three_interpolate equivalent (ref ``interpolate_gpu.cu:9-161``).
+
+    The CUDA pair returns the 3-NN l2 distances/indices and a weighted gather;
+    its only caller (dead ``models/layers.py:162``) uses normalised ``1/dist``
+    weights — exactly the math of ``upsample`` above, which is also what the
+    live model path uses for every level-to-level transfer.  Exposed for API
+    completeness.
+    """
+    return upsample(dense_xyz, sparse_xyz, sparse_feat, k=3)
+
+
+def point_warp(xyz1: jax.Array, xyz2: jax.Array, flow1: jax.Array) -> jax.Array:
+    """Inverse warping of cloud 2 toward cloud 1's flow field.
+
+    Ref ``PointWarping`` (``pointconv_util.py:1163-1191``): move ``xyz1`` by
+    ``flow1``, find the 3 nearest moved points for every ``xyz2`` point,
+    inverse-distance-average their flows, and pull ``xyz2`` back.
+
+    Args:
+      xyz1, xyz2: (B, N1, 3), (B, N2, 3)
+      flow1: (B, N1, 3)
+    Returns:
+      warped xyz2: (B, N2, 3)
+    """
+    xyz1_to_2 = xyz1 + flow1
+    idx = knn(3, xyz1_to_2, xyz2)
+    w = _inverse_distance_weights(xyz2, xyz1_to_2, idx)
+    flows = group(flow1, idx)                           # (B, N2, 3, 3)
+    flow2 = jnp.sum(w[..., None] * flows, axis=2)
+    return xyz2 - flow2

@@ -1,0 +1,100 @@
+"""Sampling and gathering ops.
+
+TPU-native equivalents of the ``pointnet2`` CUDA extension:
+  - ``farthest_point_sample``  (ref kernel ``pointnet2/src/sampling_gpu.cu:93-253``)
+  - ``gather``                 (ref ``gather_points`` kernel, ``sampling_gpu.cu:8-83``;
+    autograd wrapper ``pointnet2/pointnet2_utils.py:39-73``)
+  - ``group``                  (ref ``group_points`` kernel,
+    ``pointnet2/src/group_points_gpu.cu:8-86``)
+
+The CUDA gather/group backward passes are hand-written ``atomicAdd`` scatters;
+here ``jnp.take_along_axis`` gives the identical (and deterministic) scatter-add
+gradient through autodiff, so no custom VJP is needed.
+
+FPS is inherently sequential (each step depends on the running min-distance
+field).  The portable implementation below is a ``lax.scan`` whose body is a
+fused distance-update + argmax — one compiled loop, no host round trips.  A
+Pallas kernel that keeps the xyz tile and min-distance field resident in VMEM
+is provided in ``mocopci_tpu.ops.pallas.fps`` and is used automatically on TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def farthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Iterative farthest point sampling (portable XLA version).
+
+    Semantics match the CUDA kernel exactly: the first sample is index 0
+    (``sampling_gpu.cu:113-115``), the running min-distance buffer starts at
+    1e10, and each step picks the argmax of the min-distance field (already
+    selected points have distance 0 and are never re-picked).
+
+    Args:
+      xyz: (B, N, 3) float32 points.
+      npoint: number of samples (static).
+    Returns:
+      (B, npoint) int32 indices.
+    """
+    B, N, _ = xyz.shape
+    x32 = xyz.astype(jnp.float32)
+
+    def step(carry, _):
+        mind, last = carry
+        last_xyz = jnp.take_along_axis(x32, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((x32 - last_xyz) ** 2, axis=-1)  # (B,N)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)
+        return (mind, nxt), nxt
+
+    init = (jnp.full((B, N), 1e10, jnp.float32), jnp.zeros((B,), jnp.int32))
+    if npoint == 1:
+        return jnp.zeros((B, 1), jnp.int32)
+    (_, _), rest = lax.scan(step, init, None, length=npoint - 1)
+    return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), rest.T], axis=1)
+
+
+def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+    """FPS dispatching to the Pallas kernel on TPU, XLA scan elsewhere."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend
+        on_tpu = False
+    if on_tpu:
+        from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(xyz, npoint)
+    return farthest_point_sample_xla(xyz, npoint)
+
+
+def gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows: (B, N, C) x (B, S) -> (B, S, C).
+
+    Equivalent of ``index_points_gather`` (``models/pointconv_util.py:168-179``)
+    without the channels-first round trip.
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Grouped gather: (B, N, C) x (B, S, K) -> (B, S, K, C).
+
+    Equivalent of ``index_points_group`` (``models/pointconv_util.py:181-192``),
+    the workhorse behind every kNN grouping in the reference.
+    """
+    B, _, C = points.shape
+    S, K = idx.shape[1], idx.shape[2]
+    flat = jnp.take_along_axis(
+        points, idx.reshape(B, S * K, 1).astype(jnp.int32), axis=1
+    )
+    return flat.reshape(B, S, K, C)
+
+
+def downsample_fps(points: jax.Array, npoint: int) -> jax.Array:
+    """FPS + gather, ref ``downsampling`` (``mocopci.py:1099-1104``), (B,N,3)->(B,npoint,3)."""
+    return gather(points, farthest_point_sample(points, npoint))

@@ -1,0 +1,29 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+This is the JAX-native way to exercise mesh/pjit code without TPU hardware
+(SURVEY.md §4); the real-chip path is exercised by bench.py / __graft_entry__.
+
+Note: this environment registers a TPU ("axon") PJRT backend from
+sitecustomize at interpreter startup, so setting JAX_PLATFORMS in the
+environment is not enough — we must override the jax config before any backend
+is initialised.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,122 @@
+"""Chamfer and approx-EMD tests: oracles, golden values, gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mocopci_tpu import ops
+
+
+def _np_chamfer(a, b):
+    d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    return (d.min(2).mean(1) + d.min(1).mean(1)).mean()
+
+
+def test_chamfer_matches_oracle(rng):
+    a = rng.normal(size=(3, 31, 3)).astype(np.float32)
+    b = rng.normal(size=(3, 17, 3)).astype(np.float32)
+    got = float(ops.chamfer_distance(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _np_chamfer(a, b), rtol=1e-5)
+
+
+def test_chamfer_blocked_matches_dense(rng):
+    a = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    dense = float(ops.chamfer_distance(jnp.asarray(a), jnp.asarray(b)))
+    blocked = float(ops.chamfer_distance_blocked(jnp.asarray(a), jnp.asarray(b), 16))
+    np.testing.assert_allclose(blocked, dense, rtol=1e-5)
+
+
+def test_chamfer_zero_for_identical(rng):
+    a = rng.normal(size=(1, 20, 3)).astype(np.float32)
+    assert float(ops.chamfer_distance(jnp.asarray(a), jnp.asarray(a))) < 1e-10
+
+
+def test_chamfer_grad_finite(rng):
+    a = jnp.asarray(rng.normal(size=(1, 12, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 12, 3)).astype(np.float32))
+    g = jax.grad(lambda x: ops.chamfer_distance(x, b))(a)
+    assert np.isfinite(np.asarray(g)).all()
+    # numerical check of one coordinate
+    eps = 1e-3
+    e = jnp.zeros_like(a).at[0, 3, 1].set(eps)
+    num = (ops.chamfer_distance(a + e, b) - ops.chamfer_distance(a - e, b)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 3, 1]), float(num), rtol=1e-2, atol=1e-4)
+
+
+def _np_approx_match(xyz1, xyz2):
+    """Oracle mirroring emd_kernel.cu:30-162."""
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if n >= m:
+        ml, mr = 1.0, float(n // m)
+    else:
+        ml, mr = float(m // n), 1.0
+    match = np.zeros((B, m, n), np.float32)
+    d = ((xyz1[:, :, None] - xyz2[:, None]) ** 2).sum(-1).astype(np.float32)
+    for b in range(B):
+        remainL = np.full(n, ml, np.float32)
+        remainR = np.full(m, mr, np.float32)
+        for j in list(range(7, -2, -1)):
+            level = -(4.0 ** j) if j > -2 else 0.0
+            K = np.exp(np.float32(level) * d[b], dtype=np.float32)
+            suml = K @ remainR + 1e-9
+            ratioL = remainL / suml
+            sumr = (K.T @ ratioL) * remainR
+            cons = np.minimum(remainR / (sumr + 1e-9), 1.0)
+            ratioR = cons * remainR
+            remainR = np.maximum(0.0, remainR - sumr)
+            W = K * ratioL[:, None] * ratioR[None, :]
+            match[b] += W.T
+            remainL = np.maximum(0.0, remainL - W.sum(1))
+    return match.astype(np.float32)
+
+
+def test_approx_match_matches_oracle(rng):
+    a = rng.normal(size=(2, 12, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 12, 3)).astype(np.float32)
+    got = np.asarray(ops.approx_match(jnp.asarray(a), jnp.asarray(b)))
+    want = _np_approx_match(a, b)
+    # Both sides are fp32 exp-annealing chains; the early levels use
+    # exp(-16384·d), where a 1-ulp difference flips which capacity clamps hit,
+    # so individual entries can drift.  Compare entries with slack and the
+    # resulting transport cost tightly.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=3e-3)
+    d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    cost_got = np.einsum("bmn,bnm->b", got, d)
+    cost_want = np.einsum("bmn,bnm->b", want, d)
+    np.testing.assert_allclose(cost_got, cost_want, rtol=1e-2)
+
+
+def test_emd_golden_two_points():
+    """Golden case from the reference's own check (models/EMD/test_emd_loss.py):
+    clouds {(-1,0,0),(1,0,0)} vs {(-1+eps,0,0),(1-eps,0,0)} match 1:1, cost =
+    2*eps^2 per cloud pair."""
+    eps = 0.1
+    p1 = jnp.asarray(np.array([[[-1, 0, 0], [1, 0, 0]]], np.float32))
+    p2 = jnp.asarray(np.array([[[-1 + eps, 0, 0], [1 - eps, 0, 0]]], np.float32))
+    cost = float(ops.earth_mover_distance(p1, p2)[0])
+    np.testing.assert_allclose(cost, 2 * eps * eps, rtol=1e-3)
+
+
+def test_emd_zero_identical(rng):
+    a = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    assert float(ops.earth_mover_distance(a, a)[0]) < 1e-4
+
+
+def test_emd_grad_matches_match_formula(rng):
+    a = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+    g1, g2 = jax.grad(lambda x, y: jnp.sum(ops.earth_mover_distance(x, y)), (0, 1))(a, b)
+    match = np.asarray(ops.approx_match(a, b))[0]
+    an, bn = np.asarray(a)[0], np.asarray(b)[0]
+    want1 = 2 * (match.sum(0)[:, None] * an - match.T @ bn)
+    want2 = 2 * (match.sum(1)[:, None] * bn - match @ an)
+    np.testing.assert_allclose(np.asarray(g1)[0], want1, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2)[0], want2, rtol=1e-3, atol=1e-4)
+
+
+def test_emd_metric_normalisation(rng):
+    a = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+    want = float(jnp.mean(ops.earth_mover_distance(a, b))) / 16
+    np.testing.assert_allclose(float(ops.emd(a, b)), want, rtol=1e-6)

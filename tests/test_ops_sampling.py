@@ -1,0 +1,83 @@
+"""FPS / interpolation / warping tests against numpy oracles."""
+import numpy as np
+import jax.numpy as jnp
+
+from mocopci_tpu import ops
+from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+
+def _np_fps(xyz, npoint):
+    """Oracle mirroring the CUDA kernel (sampling_gpu.cu:93-253)."""
+    B, N, _ = xyz.shape
+    out = np.zeros((B, npoint), np.int32)
+    for b in range(B):
+        mind = np.full(N, 1e10, np.float32)
+        last = 0
+        for i in range(1, npoint):
+            d = ((xyz[b] - xyz[b, last]) ** 2).sum(-1)
+            mind = np.minimum(mind, d)
+            last = int(np.argmax(mind))
+            out[b, i] = last
+    return out
+
+
+def test_fps_matches_oracle(rng):
+    xyz = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    got = np.asarray(ops.farthest_point_sample_xla(jnp.asarray(xyz), 16))
+    np.testing.assert_array_equal(got, _np_fps(xyz, 16))
+
+
+def test_fps_pallas_interpret_matches_oracle(rng):
+    xyz = rng.normal(size=(2, 200, 3)).astype(np.float32)  # non-multiple of 128
+    got = np.asarray(
+        farthest_point_sample_pallas(jnp.asarray(xyz), 32, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _np_fps(xyz, 32))
+
+
+def test_fps_covers_cloud(rng):
+    # farthest-point property: no duplicates while npoint <= N distinct pts
+    xyz = rng.normal(size=(1, 100, 3)).astype(np.float32)
+    idx = np.asarray(ops.farthest_point_sample_xla(jnp.asarray(xyz), 50))[0]
+    assert len(set(idx.tolist())) == 50
+
+
+def test_upsample_inverse_distance(rng):
+    sparse = rng.normal(size=(1, 10, 3)).astype(np.float32)
+    dense = rng.normal(size=(1, 25, 3)).astype(np.float32)
+    feat = rng.normal(size=(1, 10, 4)).astype(np.float32)
+    got = np.asarray(ops.upsample(jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(feat)))
+
+    d = np.sqrt(((dense[:, :, None] - sparse[:, None]) ** 2).sum(-1))[0]
+    want = np.zeros((25, 4), np.float32)
+    for n in range(25):
+        nn3 = np.argsort(d[n])[:3]
+        w = 1.0 / np.maximum(d[n][nn3], 1e-10)
+        w = w / w.sum()
+        want[n] = (w[:, None] * feat[0][nn3]).sum(0)
+    np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_identity_when_same_points(rng):
+    xyz = rng.normal(size=(1, 12, 3)).astype(np.float32)
+    feat = rng.normal(size=(1, 12, 5)).astype(np.float32)
+    got = np.asarray(ops.upsample(jnp.asarray(xyz), jnp.asarray(xyz), jnp.asarray(feat)))
+    # nearest neighbour is the point itself with dist ~0 -> weight ~1
+    np.testing.assert_allclose(got[0], feat[0], rtol=1e-4, atol=1e-4)
+
+
+def test_point_warp_zero_flow_is_identity(rng):
+    xyz1 = rng.normal(size=(1, 20, 3)).astype(np.float32)
+    xyz2 = rng.normal(size=(1, 20, 3)).astype(np.float32)
+    flow = np.zeros_like(xyz1)
+    got = np.asarray(ops.point_warp(jnp.asarray(xyz1), jnp.asarray(xyz2), jnp.asarray(flow)))
+    np.testing.assert_allclose(got[0], xyz2[0], atol=1e-5)
+
+
+def test_point_warp_constant_flow(rng):
+    # constant flow field -> every xyz2 point pulled back by the same vector
+    xyz1 = rng.normal(size=(1, 50, 3)).astype(np.float32)
+    xyz2 = xyz1 + 0.01 * rng.normal(size=(1, 50, 3)).astype(np.float32)
+    flow = np.tile(np.array([[0.5, -0.2, 0.1]], np.float32), (50, 1))[None]
+    got = np.asarray(ops.point_warp(jnp.asarray(xyz1), jnp.asarray(xyz2), jnp.asarray(flow)))
+    np.testing.assert_allclose(got[0], xyz2[0] - flow[0], rtol=1e-3, atol=1e-4)

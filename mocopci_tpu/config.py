@@ -85,7 +85,7 @@ def tiny_model_config(npoints: int = 256) -> ModelConfig:
     """A small config with the same structure, for tests and CPU dry runs."""
     return ModelConfig(
         npoints=npoints,
-        pyramid=(npoints // 4, npoints // 16, npoints // 32, max(npoints // 128, 4)),
+        pyramid=(npoints // 4, npoints // 8, npoints // 16, npoints // 32),
         feat_nei=8,
         flow_nei=8,
         refine_k=4,

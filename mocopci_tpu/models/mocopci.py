@@ -1,0 +1,433 @@
+"""MoCoPCI — one-shot multi-frame LiDAR point-cloud interpolation, TPU-native.
+
+Re-architecture of the reference model (``models/m_models/mocopci.py``):
+  - ``PointConvEncoder``     ≙ ref ``mocopci.py:415-468``
+  - ``MultiframeAttention``  ≙ ref ``Multiframe_Attention``, ``mocopci.py:154-212``
+  - ``MultiFrameEstimator``  ≙ ref ``MultiFrameEstimatier``, ``mocopci.py:741-1059``
+  - ``MoCoPCI``              ≙ ref ``mocopci.py:1062-1097``
+
+Everything is channels-last (B, N, C), static-shaped, and a single XLA program
+per step — no host round trips (the reference rebuilds its sinusoidal time
+embedding on CPU every forward, ``mocopci.py:172-206``; here it is a traced
+constant since the timestamps are hard-coded, ``mocopci.py:824-825``).
+
+Deliberately omitted dead weight from the reference (documented for checkpoint
+conversion, SURVEY.md §1): ``recurrent0``, ``rf_block0``, ``fusion_gru``
+(constructed, never called), ``deconv1_0`` (never used), the third cost-volume
+pass of ``cross3`` (output bound to an unused name, ``mocopci.py:851``), and
+the per-level upsampled-feature lists (``up_feat*_lst``) whose values are
+overwritten before use (``mocopci.py:1019-1026``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mocopci_tpu import ops
+from mocopci_tpu.config import ModelConfig
+from mocopci_tpu.nn.attention import CrossFrameBlock, EICrossformer, MultiFrameBlock
+from mocopci_tpu.nn.basic import BatchNorm, ConvLReLU
+from mocopci_tpu.nn.cross import (
+    BidirectionalLayerFeatCosine,
+    CrossLayerFeatCosine,
+    FlowEmbeddingLayer,
+)
+from mocopci_tpu.nn.pointconv import PointConv, PointConvD
+from mocopci_tpu.nn.transformer import PointTransformerBlock
+
+
+def time_embedding(ts: Sequence[float], dim: int) -> jnp.ndarray:
+    """Sinusoidal time embedding table, (len(ts), dim).
+
+    Bit-for-bit the reference's CPU loop (``mocopci.py:172-180``):
+    ``enc[i, j]   = sin(t_i · 10000^(−j/dim))`` for even j,
+    ``enc[i, j+1] = cos(t_i · 10000^(−(j+1)/dim))``.
+    Computed once at trace time — a compile-time constant.
+    """
+    enc = np.zeros((len(ts), dim), np.float32)
+    for i, t in enumerate(ts):
+        for j in range(0, dim, 2):
+            enc[i, j] = math.sin(t * math.pow(10000, -j / dim))
+            if j + 1 < dim:
+                enc[i, j + 1] = math.cos(t * math.pow(10000, -(j + 1) / dim))
+    return jnp.asarray(enc)
+
+
+def area_resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """Fixed matrix A (n_out, n_in) with A @ x == F.interpolate(x, n_out, mode="area").
+
+    The reference abuses adaptive average pooling to lift each 3-vector flow to
+    a feature-width vector (``mocopci.py:1021-1023``); with static sizes this
+    is just a constant matmul.
+    """
+    A = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        start = (i * n_in) // n_out
+        end = -(-((i + 1) * n_in) // n_out)  # ceil
+        A[i, start:end] = 1.0 / (end - start)
+    return jnp.asarray(A)
+
+
+class PointConvEncoder(nn.Module):
+    """Shared 5-level PointConv feature pyramid (ref ``mocopci.py:415-468``)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, xyz) -> Tuple[list, list]:
+        cfg = self.cfg
+        c0, c1, c2, c3, c4 = cfg.enc_channels
+        n1, n2, n3, n4 = cfg.pyramid
+        k = cfg.feat_nei
+        w = cfg.weightnet
+
+        feat = ConvLReLU(c0, name="level0_lift")(xyz)          # xyz doubles as color
+        feat_l0 = PointConv(k, c0, w, name="level0")(xyz, feat)
+        f = ConvLReLU(c1, name="level0_1")(feat_l0)
+
+        pc_l1, feat_l1 = PointConvD(n1, k, c1, w, name="level1")(xyz, f)
+        feat_l1 = ConvLReLU(c1, name="level1_0")(feat_l1)
+        f = ConvLReLU(c2, name="level1_1")(feat_l1)
+
+        pc_l2, feat_l2 = PointConvD(n2, k, c2, w, name="level2")(pc_l1, f)
+        feat_l2 = ConvLReLU(c2, name="level2_0")(feat_l2)
+        f = ConvLReLU(c3, name="level2_1")(feat_l2)
+
+        pc_l3, feat_l3 = PointConvD(n3, k, c3, w, name="level3")(pc_l2, f)
+        feat_l3 = ConvLReLU(c3, name="level3_0")(feat_l3)
+        f = ConvLReLU(2 * c3, name="level3_1")(feat_l3)
+
+        pc_l4, feat_l4 = PointConvD(n4, k, c4, w, name="level4")(pc_l3, f)
+
+        return [xyz, pc_l1, pc_l2, pc_l3, pc_l4], [
+            feat_l0,
+            feat_l1,
+            feat_l2,
+            feat_l3,
+            feat_l4,
+        ]
+
+
+class MultiframeAttention(nn.Module):
+    """Per-level multi-frame decoder stage (ref ``Multiframe_Attention``,
+    ``mocopci.py:154-212``).
+
+    For each of the 3 candidate frame flows: warp pc2 toward that time,
+    re-correlate (bidirectional layer), build a motion embedding; then attend
+    over the 5 time tokens with sinusoidal time encoding and emit per-frame
+    flows + latent features.
+    """
+
+    feat_ch: int
+    latent_ch: int
+    mlp1: Tuple[int, int]
+    mlp2: Tuple[int, int]
+    flow_nei: int
+    attn_drop: float = 0.05
+    proj_drop: float = 0.05
+    drop_path: float = 0.04
+
+    def setup(self):
+        self.bid = BidirectionalLayerFeatCosine(self.flow_nei, self.mlp1, name="bid")
+        self.fe = FlowEmbeddingLayer(self.flow_nei, self.mlp2, name="fe")
+        self.cross_block = MultiFrameBlock(
+            dim=self.feat_ch,
+            latent=self.latent_ch,
+            drop=self.proj_drop,
+            attn_drop=self.attn_drop,
+            drop_path=self.drop_path,
+            name="cross_block",
+        )
+        self.downsample = ConvLReLU(self.feat_ch, name="downsample")
+
+    def __call__(
+        self,
+        pc1,
+        pc2,
+        feat1_new,
+        feat2_new,
+        feat1_0,
+        feat1_1,
+        feat2_0,
+        feat2_1,
+        up_frames,          # (B, 3, N, 3) candidate flows at this level
+        ts: Tuple[float, ...],
+        train: bool = False,
+        deterministic: bool = True,
+    ):
+        c_feat1 = jnp.concatenate([feat1_0, feat1_1, feat1_new], axis=-1)
+        c_feat2 = jnp.concatenate([feat2_0, feat2_1, feat2_new], axis=-1)
+
+        fes = []
+        f1n = f2n = None
+        for i in range(up_frames.shape[1]):
+            pc2_warp = ops.point_warp(pc1, pc2, up_frames[:, i])
+            f1n, f2n = self.bid(pc1, pc2_warp, c_feat1, c_feat2, feat1_0, feat2_0)
+            fes.append(self.fe(pc1, pc2_warp, f1n, f2n, feat1_0, feat2_0))
+
+        x = jnp.stack([f1n, *fes[:3], f2n], axis=1)          # (B, 5, N, C)
+        x = x + time_embedding(ts, self.feat_ch)[None, :, None, :]
+        feats, frames = self.cross_block(x, train, deterministic)
+        feats = self.downsample(feats)                        # latent -> feat_ch
+        return frames, f1n, f2n, feats
+
+
+class MultiFrameEstimator(nn.Module):
+    """Coarse-to-fine bidirectional multi-frame flow decoder
+    (ref ``MultiFrameEstimatier``, ``mocopci.py:741-1059``)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        c0, c1, c2, c3, _ = cfg.enc_channels
+
+        self.ei1 = EICrossformer(c1, name="ei1")
+        self.ei2 = EICrossformer(c2, name="ei2")
+        self.ei3 = EICrossformer(c3, name="ei3")
+
+        self.deconv4_3 = ConvLReLU(c1, name="deconv4_3")
+        self.deconv3_2 = ConvLReLU(c2, name="deconv3_2")
+        self.deconv2_1 = ConvLReLU(c1, name="deconv2_1")
+
+        self.cross3 = CrossLayerFeatCosine(
+            cfg.flow_nei, (c3, c3), (c3, c3), name="cross3"
+        )
+        self.cross_block3 = CrossFrameBlock(
+            dim=c3, attn_drop=cfg.attn_drop, drop=cfg.proj_drop, name="cross_block3"
+        )
+        self.multi_frame_up_2 = MultiframeAttention(
+            feat_ch=c2,
+            latent_ch=c1 + c1 * 4,
+            mlp1=(c2, c2),
+            mlp2=(c2, c2),
+            flow_nei=cfg.flow_nei,
+            attn_drop=cfg.attn_drop,
+            proj_drop=cfg.proj_drop,
+            drop_path=cfg.drop_path,
+            name="multi_frame_up_2",
+        )
+        self.multi_frame_up_1 = MultiframeAttention(
+            feat_ch=c1,
+            latent_ch=c1 + c0 * 4,
+            mlp1=(c1, c1),
+            mlp2=(c1, c1),
+            flow_nei=cfg.flow_nei,
+            attn_drop=cfg.attn_drop,
+            proj_drop=cfg.proj_drop,
+            drop_path=cfg.drop_path,
+            name="multi_frame_up_1",
+        )
+
+        # fusion head conv stack 4->64->64->128 with BN(eps 1e-3) + ReLU
+        # (ref mocopci.py:748-755)
+        self.fusion_dense = [
+            nn.Dense(c1, name="fusion_conv0"),
+            nn.Dense(c1, name="fusion_conv1"),
+            nn.Dense(c2, name="fusion_conv2"),
+        ]
+        self.fusion_bn = [
+            BatchNorm(name="fusion_bn0"),
+            BatchNorm(name="fusion_bn1"),
+            BatchNorm(name="fusion_bn2"),
+        ]
+
+        # refine head (ref mocopci.py:760-764)
+        self.rlevel0 = ConvLReLU(c1, name="rlevel0")
+        self.refine_level1 = PointConvD(
+            cfg.refine_npoint, cfg.feat_nei, c1, cfg.weightnet, name="refine_level1"
+        )
+        self.shape1 = PointTransformerBlock(c1, cfg.refine_k, name="shape1")
+        self.pred1 = nn.Dense(c0, name="pred1")
+        self.pred2 = nn.Dense(3, name="pred2")
+
+    def _fusion(self, points1, points2, train):
+        """kNN-softmax position blend (ref ``fusion``, ``mocopci.py:798-819``)."""
+        k = self.cfg.fusion_k
+        idx_self = ops.knn(k, points1, points1)
+        idx_cross = ops.knn(k, points2, points1)
+        idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
+        neighbor = ops.group(points2, idx)                     # (B,N,2k,3)
+        resi = neighbor - points1[:, :, None, :]
+        dist = jnp.linalg.norm(resi, axis=-1, keepdims=True)
+        h = jnp.concatenate([resi, dist], axis=-1)             # (B,N,2k,4)
+        for dense, bn in zip(self.fusion_dense, self.fusion_bn):
+            h = nn.relu(bn(dense(h), train))
+        h = jnp.max(h, axis=-1)                                # max over channels
+        w = jax.nn.softmax(h, axis=-1)                         # softmax over 2k
+        return jnp.sum(w[..., None] * neighbor, axis=2)        # (B,N,3)
+
+    def _refine(self, feat0, base_pc, up_flow, train):
+        """Full-res compensation head (ref ``mocopci.py:1017-1038``)."""
+        c0 = self.cfg.enc_channels[0]
+        A = area_resize_matrix(3, c0)                          # (c0, 3)
+        warped_feat = feat0 + jnp.einsum("bnc,dc->bnd", up_flow, A)
+        warped_feat = self.rlevel0(warped_feat)
+        down_xyz, down_feat = self.refine_level1(base_pc, warped_feat)
+        shaped = self.shape1(down_feat, down_xyz)
+        up = ops.upsample(base_pc, down_xyz, shaped)
+        return self.pred2(nn.relu(self.pred1(up)))
+
+    def __call__(
+        self,
+        pc1s,
+        pc2s,
+        feat1s,
+        feat2s,
+        train: bool = False,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        F = cfg.n_frames
+        t_f, t_b = cfg.t_forward, cfg.t_backward
+
+        # EI fusion at L1..L3 — one shared feature per level (mocopci.py:829-837)
+        fus1 = self.ei1(feat1s[1], feat2s[1], deterministic)
+        fus2 = self.ei2(feat1s[2], feat2s[2], deterministic)
+        fus3 = self.ei3(feat1s[3], feat2s[3], deterministic)
+
+        # L4 -> L3
+        feat1_l4_3 = self.deconv4_3(ops.upsample(pc1s[3], pc1s[4], feat1s[4]))
+        feat2_l4_3 = self.deconv4_3(ops.upsample(pc2s[3], pc2s[4], feat2s[4]))
+
+        # L3 cost volume + one-shot frame synthesis (fwd and bwd)
+        c_feat1_l3 = jnp.concatenate([feat1s[3], fus3, feat1_l4_3], axis=-1)
+        c_feat2_l3 = jnp.concatenate([feat2s[3], fus3, feat2_l4_3], axis=-1)
+        f1n_l3, f2n_l3 = self.cross3(
+            pc1s[3], pc2s[3], c_feat1_l3, c_feat2_l3, feat1s[3], feat2s[3]
+        )
+        feats3_f, frame3_f = self.cross_block3(
+            jnp.stack([f1n_l3, f2n_l3], axis=1), train, deterministic
+        )
+        feats3_b, frame3_b = self.cross_block3(
+            jnp.stack([f2n_l3, f1n_l3], axis=1), train, deterministic
+        )
+
+        feat1_l3_2 = self.deconv3_2(ops.upsample(pc1s[2], pc1s[3], f1n_l3))
+        feat2_l3_2 = self.deconv3_2(ops.upsample(pc2s[2], pc2s[3], f2n_l3))
+
+        # L3 -> L2 candidate flows (mocopci.py:864-878)
+        up_frame2_f = jnp.stack(
+            [ops.upsample(pc1s[2], pc1s[3], frame3_f[:, i]) for i in range(F)], 1
+        )
+        up_frame2_b = jnp.stack(
+            [ops.upsample(pc2s[2], pc2s[3], frame3_b[:, i]) for i in range(F)], 1
+        )
+        frames3_out_f = jnp.stack([pc1s[3] + frame3_f[:, i] for i in range(F)], 1)
+        frames3_out_b = jnp.stack(
+            [pc2s[3] + frame3_b[:, F - 1 - i] for i in range(F)], 1
+        )
+
+        # L2 (mocopci.py:882-916)
+        frame2_f, f1n_l2_f, f2n_l2_f, _ = self.multi_frame_up_2(
+            pc1s[2], pc2s[2], feat1_l3_2, feat2_l3_2,
+            feat1s[2], fus2, feat2s[2], fus2, up_frame2_f, t_f, train, deterministic,
+        )
+        frame2_b, f2n_l2_b, f1n_l2_b, _ = self.multi_frame_up_2(
+            pc2s[2], pc1s[2], feat2_l3_2, feat1_l3_2,
+            feat2s[2], fus2, feat1s[2], fus2, up_frame2_b, t_b, train, deterministic,
+        )
+
+        feat1_l2_1_f = self.deconv2_1(ops.upsample(pc1s[1], pc1s[2], f1n_l2_f))
+        feat2_l2_1_f = self.deconv2_1(ops.upsample(pc2s[1], pc2s[2], f2n_l2_f))
+        feat1_l2_1_b = self.deconv2_1(ops.upsample(pc1s[1], pc1s[2], f1n_l2_b))
+        feat2_l2_1_b = self.deconv2_1(ops.upsample(pc2s[1], pc2s[2], f2n_l2_b))
+
+        # L2 -> L1 (mocopci.py:930-944)
+        up_frame1_f = jnp.stack(
+            [ops.upsample(pc1s[1], pc1s[2], frame2_f[:, i]) for i in range(F)], 1
+        )
+        up_frame1_b = jnp.stack(
+            [ops.upsample(pc2s[1], pc2s[2], frame2_b[:, i]) for i in range(F)], 1
+        )
+        frames2_out_f = jnp.stack([pc1s[2] + frame2_f[:, i] for i in range(F)], 1)
+        frames2_out_b = jnp.stack(
+            [pc2s[2] + frame2_b[:, F - 1 - i] for i in range(F)], 1
+        )
+
+        # L1 (mocopci.py:947-981)
+        frame1_f, f1n_l1_f, f2n_l1_f, _ = self.multi_frame_up_1(
+            pc1s[1], pc2s[1], feat1_l2_1_f, feat2_l2_1_f,
+            feat1s[1], fus1, feat2s[1], fus1, up_frame1_f, t_f, train, deterministic,
+        )
+        frame1_b, f2n_l1_b, f1n_l1_b, _ = self.multi_frame_up_1(
+            pc2s[1], pc1s[1], feat2_l2_1_b, feat1_l2_1_b,
+            feat2s[1], fus1, feat1s[1], fus1, up_frame1_b, t_b, train, deterministic,
+        )
+
+        # L1 -> L0: note the backward branch uses time-reversed frame order
+        # (mocopci.py:1002-1006)
+        up_frame0_f = jnp.stack(
+            [ops.upsample(pc1s[0], pc1s[1], frame1_f[:, i]) for i in range(F)], 1
+        )
+        up_frame0_b = jnp.stack(
+            [ops.upsample(pc2s[0], pc2s[1], frame1_b[:, F - 1 - i]) for i in range(F)],
+            1,
+        )
+        frames1_out_f = jnp.stack([pc1s[1] + frame1_f[:, i] for i in range(F)], 1)
+        frames1_out_b = jnp.stack(
+            [pc2s[1] + frame1_b[:, F - 1 - i] for i in range(F)], 1
+        )
+
+        # L0: warp, refine, fuse (mocopci.py:1009-1053)
+        out, w_f, w_b, w_f_r, w_b_r = [], [], [], [], []
+        for i in range(F):
+            warped_pc1t = pc1s[0] + up_frame0_f[:, i]
+            warped_pc2t = pc2s[0] + up_frame0_b[:, i]
+            w_f.append(warped_pc1t)
+            w_b.append(warped_pc2t)
+            w_f_r.append(pc1s[0] + up_frame0_b[:, F - 1 - i])
+            w_b_r.append(pc2s[0] + up_frame0_f[:, F - 1 - i])
+            if i <= 1:
+                refine_out = self._refine(
+                    feat1s[0], warped_pc1t, up_frame0_f[:, i], train
+                )
+                out.append(self._fusion(warped_pc1t, refine_out, train))
+            else:
+                refine_out = self._refine(
+                    feat2s[0], warped_pc2t, up_frame0_b[:, i], train
+                )
+                out.append(self._fusion(warped_pc2t, refine_out, train))
+
+        result = {"out": jnp.stack(out, axis=1)}             # (B, 3, N, 3)
+        if train:
+            result["frames_f"] = (
+                jnp.stack(w_f, 1), jnp.stack(w_f_r, 1),
+                frames1_out_f, frames2_out_f, frames3_out_f,
+            )
+            result["frames_b"] = (
+                jnp.stack(w_b, 1), jnp.stack(w_b_r, 1),
+                frames1_out_b, frames2_out_b, frames3_out_b,
+            )
+        return result
+
+
+class MoCoPCI(nn.Module):
+    """Top-level model (ref ``mocopci.py:1062-1097``).
+
+    ``__call__(xyz1, xyz2)`` with channels-last (B, N, 3) clouds returns a dict:
+      - ``out``: (B, 3, N, 3) — the three interpolated frames (always).
+      - ``frames_f`` / ``frames_b``: 5-tuples of (B, 3, n_l, 3) pyramids
+        [warped, reverse-warped, L1, L2, L3] (train only), matching the
+        reference's ``flows_lst_f/b`` contract transposed per frame.
+
+    The ground-truth FPS pyramid of the reference's train branch
+    (``mocopci.py:1079-1085``) lives in ``training.loss.gt_pyramid`` — it has
+    no parameters and belongs with the loss.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.encoder = PointConvEncoder(self.cfg, name="encoder")
+        self.estimator = MultiFrameEstimator(self.cfg, name="estimator")
+
+    def __call__(self, xyz1, xyz2, train: bool = False, deterministic: bool = True):
+        pc1s, feat1s = self.encoder(xyz1)
+        pc2s, feat2s = self.encoder(xyz2)
+        return self.estimator(pc1s, pc2s, feat1s, feat2s, train, deterministic)

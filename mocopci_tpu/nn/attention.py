@@ -1,0 +1,211 @@
+"""Attention modules (flax, channels-last).
+
+  - ``CrossAttention`` / ``Injector`` / ``Extractor`` / ``EICrossformer``
+    ≙ the extrapolation+injection fusion (ref ``mocopci.py:58-151``).
+  - ``CrossFrameBlock`` ≙ ``Cross_Frame_Att`` + ``CrossFrameAttentionInterpretation``
+    (ref ``mocopci.py:475-522, 581-624``): the heads-as-frames one-shot frame
+    synthesis at L3 — 4 attention heads of *full* dim whose outputs, summed
+    over the two input frames, become 4 candidate frames; head 0 is dropped.
+  - ``MultiFrameBlock`` ≙ ``Multi_Frame_Att`` + ``InterFrameAttentionInterpretation``
+    (ref ``mocopci.py:525-575, 627-667``): per time-token attention against the
+    time-reversed token sequence, residual + Mlp_T, projection to latent flow
+    features + per-point 3D offsets; first/last tokens dropped.
+
+The reference loops over batch items in Python (``mocopci.py:505, 555``),
+serialising on GPU; here everything is a single batched einsum program — the
+per-item BatchNorm semantics are preserved by ``FrameBatchNorm``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mocopci_tpu.nn.basic import (
+    _TRUNC02,
+    DropPath,
+    EasyMlp,
+    FrameBatchNorm,
+    Mlp,
+    MlpT,
+)
+
+
+class CrossAttention(nn.Module):
+    """Standard multi-head cross attention (ref ``mocopci.py:58-86``)."""
+
+    dim: int
+    num_heads: int = 8
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, c, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        kv = nn.Dense(2 * C, use_bias=False, name="kv")(c)
+        q = nn.Dense(C, use_bias=False, name="q")(x)
+        k, v = jnp.split(kv.reshape(B, N, 2, H, hd), 2, axis=2)
+        k = k.squeeze(2)
+        v = v.squeeze(2)
+        q = q.reshape(B, N, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        return nn.Dropout(self.drop, deterministic=deterministic)(out)
+
+
+class Injector(nn.Module):
+    """LayerNorm'd cross-attn scaled by learnable gamma, init 0 (ref ``mocopci.py:119-138``)."""
+
+    dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, query, feat, deterministic: bool = True):
+        qn = nn.LayerNorm(epsilon=1e-6, name="query_norm")(query)
+        fn = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(feat)
+        attn = CrossAttention(self.dim, self.num_heads, name="attn")(
+            qn, fn, deterministic
+        )
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        return gamma * attn
+
+
+class Extractor(nn.Module):
+    """Cross-attn + ConvFFN; returns the FFN output only (ref ``mocopci.py:89-116``:
+    the final assignment overwrites ``query`` with the ffn output)."""
+
+    dim: int
+    num_heads: int = 8
+    cffn_ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        qn = nn.LayerNorm(epsilon=1e-6, name="query_norm")(x1)
+        fn = nn.LayerNorm(epsilon=1e-6, name="feat_norm")(x2)
+        attn = CrossAttention(self.dim, self.num_heads, name="attn")(
+            qn, fn, deterministic
+        )
+        query = x1 + attn
+        h = nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(query)
+        return Mlp(int(self.dim * self.cffn_ratio), self.dim, name="ffn")(
+            h, deterministic
+        )
+
+
+class EICrossformer(nn.Module):
+    """Extrapolation+injection fusion producing one shared feature
+    (ref ``mocopci.py:140-151``). Input/output (B, N, C)."""
+
+    dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        res1 = Injector(self.dim, self.num_heads, name="injector")(
+            x1, x2, deterministic
+        )
+        res2 = Extractor(self.dim, self.num_heads, name="extractor")(
+            x2, x1, deterministic
+        )
+        cat = jnp.concatenate([res1, res2], axis=-1)
+        return nn.Dense(self.dim, use_bias=False, name="pj")(cat)
+
+
+class CrossFrameBlock(nn.Module):
+    """L3 one-shot frame synthesis (ref ``Cross_Frame_Att``, ``mocopci.py:475-522``).
+
+    Input: xs (B, F=2, N, C) — the two frames' cost-volume features.
+    Output: feats (B, F_out=3, N, C), frames (B, 3, N, 3).
+    """
+
+    dim: int
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    drop: float = 0.05
+    attn_drop: float = 0.05
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, deterministic: bool = True):
+        B, F, N, C = xs.shape
+        H = self.num_heads
+        x = FrameBatchNorm(name="norm1")(xs, train)
+        x_rev = jnp.flip(x, axis=1)
+        # full-dim heads: q -> (B, F, H, N, C), scale = C^-0.5 (mocopci.py:589-590)
+        q = nn.Dense(C * H, use_bias=True, kernel_init=_TRUNC02, name="attn_q")(x)
+        kv = nn.Dense(C * 2 * H, use_bias=True, kernel_init=_TRUNC02, name="attn_kv")(x_rev)
+        q = q.reshape(B, F, N, H, C)
+        k, v = jnp.split(kv.reshape(B, F, N, 2, H, C), 2, axis=3)
+        k = k.squeeze(3)
+        v = v.squeeze(3)
+        attn = jnp.einsum("bfnhc,bfmhc->bfhnm", q, k) * (C ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bfhnm,bfmhc->bfhnc", attn, v)
+        # heads-as-frames: sum the two frames' outputs (mocopci.py:621)
+        out = jnp.sum(out, axis=1)                      # (B, H, N, C)
+        out = nn.Dense(C, kernel_init=_TRUNC02, name="attn_proj")(out)
+        out = nn.Dropout(self.drop, deterministic=deterministic)(out)
+        feats = EasyMlp(int(C * self.mlp_ratio), C, self.drop, name="trans_block_2")(
+            out, deterministic
+        )
+        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(feats)
+        # drop candidate frame 0 (mocopci.py:520-521)
+        return feats[:, 1:], frames[:, 1:]
+
+
+class MultiFrameBlock(nn.Module):
+    """L2/L1 time-token decoder stage (ref ``Multi_Frame_Att``, ``mocopci.py:525-575``).
+
+    Input: xs (B, F=5, N, C) — [feat1, fe_t1, fe_t2, fe_t3, feat2] time tokens
+    with the sinusoidal time embedding already added.
+    Output: feats (B, 3, N, latent), frames (B, 3, N, 3) for the middle tokens.
+    """
+
+    dim: int
+    latent: int
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    drop: float = 0.05
+    attn_drop: float = 0.05
+    drop_path: float = 0.04
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, deterministic: bool = True):
+        B, F, N, C = xs.shape
+        H = self.num_heads
+        hd = C // H
+        x_norm = FrameBatchNorm(name="norm1")(xs, train)
+        x_rev = jnp.flip(x_norm, axis=1)
+        q = nn.Dense(C, use_bias=True, kernel_init=_TRUNC02, name="attn_q")(x_norm)
+        kv = nn.Dense(2 * C, use_bias=True, kernel_init=_TRUNC02, name="attn_kv")(x_rev)
+        q = q.reshape(B, F, N, H, hd)
+        k, v = jnp.split(kv.reshape(B, F, N, 2, H, hd), 2, axis=3)
+        k = k.squeeze(3)
+        v = v.squeeze(3)
+        attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v).reshape(B, F, N, C)
+        out = nn.Dense(C, kernel_init=_TRUNC02, name="attn_proj")(out)
+        out = nn.Dropout(self.drop, deterministic=deterministic)(out)
+
+        dp = DropPath(self.drop_path, sample_ndim=2, name="drop_path")
+        x_norm = x_norm + dp(out, deterministic)
+        x_back = FrameBatchNorm(name="norm2")(x_norm, train)
+        x_back = dp(
+            MlpT(int(C * self.mlp_ratio), C, self.drop, name="mlp")(
+                x_back, deterministic
+            ),
+            deterministic,
+        )
+        x = xs + x_back                                  # residual on raw input
+        x_f = MlpT(int(C * self.mlp_ratio), self.latent, self.drop, name="trans_block")(
+            x, deterministic
+        )
+        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(x_f)
+        # drop the first/last (input-frame) tokens (mocopci.py:573-574)
+        return x_f[:, 1:-1], frames[:, 1:-1]

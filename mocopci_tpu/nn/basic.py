@@ -1,0 +1,228 @@
+"""Basic building blocks (flax.linen, channels-last).
+
+Replaces the reference's conv/MLP primitives.  All "Conv1d/Conv2d" modules in
+the reference are 1×1 convolutions, i.e. plain channel mixes — here they are
+``nn.Dense`` over the last axis, which XLA maps straight to the MXU regardless
+of how many leading (batch/point/neighbour) axes there are.
+
+  - ``ConvLReLU``   ≙ ``Conv1d``/``Conv2d`` composed modules (Dense +
+    LeakyReLU(0.1), no BN since ``use_bn=False`` on the live path;
+    ref ``mocopci.py:1111-1127``, ``mocopci.py:695-713``).
+  - ``WeightNet``   ≙ ``WeightNet`` (ref ``mocopci.py:1269-1300``): MLP
+    3→8→8→W on relative coordinates, ReLU after every layer.
+  - ``Mlp``         ≙ timm-style ViT MLP with GELU (ref ``mocopci.py:20-55``).
+  - ``EasyMlp``     ≙ ``EasyMlp`` (ref ``mocopci.py:1568-1592``).
+  - ``MlpT``        ≙ ``Mlp_T`` with its depthwise 1×1 conv
+    (ref ``mocopci.py:1539-1565``); a 1×1 depthwise conv is a per-channel
+    affine scale+shift.
+  - ``PReLU``       ≙ ``nn.PReLU`` single shared slope, init 0.25.
+  - ``DropPath``    ≙ timm stochastic depth (per-sample).
+  - ``FrameBatchNorm`` ≙ ``nn.BatchNorm1d`` as (ab)used by the frame-attention
+    blocks: the reference loops over batch items in Python and calls BN on one
+    item's (frames, C, N) tensor at a time (``mocopci.py:505-507, 555-556``),
+    so in training mode every item is normalised by its *own* (frames × points)
+    statistics.  We reproduce that exactly (vectorised, no Python loop) and
+    keep EMA running stats for eval.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LEAKY_RATE = 0.1
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU, torch default init 0.25."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda k: jnp.asarray(0.25, jnp.float32))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class ConvLReLU(nn.Module):
+    """Dense + LeakyReLU(0.1): the reference's composed Conv1d/Conv2d module."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features, name="conv")(x)
+        return nn.leaky_relu(x, LEAKY_RATE)
+
+
+class WeightNet(nn.Module):
+    """MLP on grouped relative xyz: (..., 3) -> (..., out). ReLU after each layer."""
+
+    out_channel: int
+    hidden: Sequence[int] = (8, 8)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, h in enumerate(self.hidden):
+            x = nn.relu(nn.Dense(h, name=f"conv{i}")(x))
+        return nn.relu(nn.Dense(self.out_channel, name="conv_out")(x))
+
+
+class Mlp(nn.Module):
+    """ViT MLP (GELU), used by the EI extractor FFN (ref ``mocopci.py:20-55``)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class EasyMlp(nn.Module):
+    """Dense→PReLU→drop→Dense→drop (ref ``mocopci.py:1568-1592``)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, name="fc1")(x)
+        x = PReLU(name="act")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, kernel_init=_TRUNC02, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class MlpT(nn.Module):
+    """Mlp_T: Dense→depthwise-1×1→PReLU→drop→Dense→drop (ref ``mocopci.py:1539-1565``).
+
+    The depthwise Conv1d has kernel size 1 and groups=dim, i.e. an elementwise
+    per-channel scale and shift.
+    """
+
+    hidden: int
+    out: int
+    drop: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, name="fc1")(x)
+        w = self.param("dw_scale", nn.initializers.ones, (self.hidden,))
+        b = self.param("dw_bias", nn.initializers.zeros, (self.hidden,))
+        x = x * w + b
+        x = PReLU(name="act")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, kernel_init=_TRUNC02, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth over the leading ``sample_ndim`` axes.
+
+    The reference applies timm DropPath inside a per-batch-item Python loop on
+    (frames, N, C) tensors, so the sample axis is the frame axis; batched here
+    that means masking over (batch, frames) jointly (``sample_ndim=2``).
+    """
+
+    rate: float
+    sample_ndim: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        shape = x.shape[: self.sample_ndim] + (1,) * (x.ndim - self.sample_ndim)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class FrameBatchNorm(nn.Module):
+    """BatchNorm over all-but-(leading, channel) axes, computed per batch item.
+
+    Matches the reference's BatchNorm1d invoked once per batch item inside a
+    Python loop (``mocopci.py:505-507, 555-562``): in train mode each item is
+    normalised by its own statistics over (frames × points); running stats are
+    EMA-updated (momentum 0.1, unbiased variance) for eval, averaging the
+    per-item stats of the step.
+
+    Input: (B, ..., C); statistics over all axes except 0 and -1.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
+
+        if train:
+            axes = tuple(range(1, x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)            # (B, C)
+            var = jnp.mean(
+                (x - mean.reshape((x.shape[0],) + (1,) * len(axes) + (C,))) ** 2,
+                axis=axes,
+            )
+            bshape = (x.shape[0],) + (1,) * len(axes) + (C,)
+            xn = (x - mean.reshape(bshape)) * jax.lax.rsqrt(var.reshape(bshape) + self.eps)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * jnp.mean(mean, axis=0)
+                ra_var.value = (1 - m) * ra_var.value + m * jnp.mean(unbiased, axis=0)
+        else:
+            xn = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.eps)
+        return xn * scale + bias
+
+
+class BatchNorm(nn.Module):
+    """Plain cross-batch BatchNorm over all-but-last axes (fusion head conv,
+    ref ``mocopci.py:749-755``, eps=0.001)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean((x - mean) ** 2, axis=axes)
+            xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            xn = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.eps)
+        return xn * scale + bias

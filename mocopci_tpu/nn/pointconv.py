@@ -1,0 +1,78 @@
+"""PointConv layers (flax, channels-last).
+
+Ref ``PointConv``/``PointConvD`` (``models/m_models/mocopci.py:1303-1396``):
+kNN grouping → WeightNet on relative xyz → per-point matmul aggregation
+``(C, K) × (K, W) → (C·W)`` → Dense → LeakyReLU.  The ``D`` variant FPS-
+downsamples the queries first.
+
+The aggregation einsum is a batch of tiny (C×K)·(K×W) matmuls; with
+channels-last layout XLA vectorises it across the point axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mocopci_tpu import ops
+from mocopci_tpu.nn.basic import LEAKY_RATE, WeightNet
+
+
+def _pointconv_core(
+    weightnet: WeightNet,
+    linear: nn.Dense,
+    query_xyz: jax.Array,     # (B, S, 3)
+    grouped_xyz: jax.Array,   # (B, S, K, 3) absolute neighbour positions
+    grouped_feat: jax.Array,  # (B, S, K, D) neighbour features
+) -> jax.Array:
+    """Shared PointConv aggregation. Returns (B, S, out)."""
+    rel = grouped_xyz - query_xyz[:, :, None, :]               # (B,S,K,3)
+    new_points = jnp.concatenate([rel, grouped_feat], axis=-1)  # (B,S,K,3+D)
+    weights = weightnet(rel)                                    # (B,S,K,W)
+    agg = jnp.einsum(
+        "bskc,bskw->bscw", new_points, weights,
+        preferred_element_type=jnp.float32,
+    )
+    B, S = agg.shape[:2]
+    out = linear(agg.reshape(B, S, -1))
+    return nn.leaky_relu(out, LEAKY_RATE)
+
+
+class PointConv(nn.Module):
+    """Same-resolution PointConv (ref ``mocopci.py:1303-1346``)."""
+
+    nsample: int
+    out_channel: int
+    weightnet: int = 8
+
+    @nn.compact
+    def __call__(self, xyz, feat):
+        """xyz: (B, N, 3); feat: (B, N, D) -> (B, N, out)."""
+        idx = ops.knn(self.nsample, xyz, xyz)
+        grouped_xyz = ops.group(xyz, idx)
+        grouped_feat = ops.group(feat, idx)
+        wn = WeightNet(self.weightnet, name="weightnet")
+        lin = nn.Dense(self.out_channel, name="linear")
+        return _pointconv_core(wn, lin, xyz, grouped_xyz, grouped_feat)
+
+
+class PointConvD(nn.Module):
+    """Downsampling PointConv: FPS to ``npoint`` then grouped conv
+    (ref ``mocopci.py:1349-1396``)."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 8
+
+    @nn.compact
+    def __call__(self, xyz, feat):
+        """xyz: (B, N, 3); feat: (B, N, D) -> (new_xyz (B,npoint,3), out (B,npoint,C))."""
+        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather(xyz, fps_idx)
+        idx = ops.knn(self.nsample, xyz, new_xyz)
+        grouped_xyz = ops.group(xyz, idx)
+        grouped_feat = ops.group(feat, idx)
+        wn = WeightNet(self.weightnet, name="weightnet")
+        lin = nn.Dense(self.out_channel, name="linear")
+        return new_xyz, _pointconv_core(wn, lin, new_xyz, grouped_xyz, grouped_feat)

@@ -1,0 +1,40 @@
+"""Point-transformer block used once in the refine head.
+
+Ref ``TransformerBlock`` (``models/pointT_layer2.py:37-77``): k-NN vector
+attention with subtraction-based logits ``fc_gamma(q − k + pos)``, softmax over
+the neighbour axis (scaled by sqrt(d_model)), aggregation of ``v + pos``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mocopci_tpu import ops
+
+
+class PointTransformerBlock(nn.Module):
+    d_model: int
+    k: int = 16
+
+    @nn.compact
+    def __call__(self, features, xyz):
+        """features: (B, N, d_points); xyz: (B, N, 3) -> (B, N, d_points)."""
+        idx = ops.knn(self.k, xyz, xyz)            # sorted ascending == argsort[:k]
+        knn_xyz = ops.group(xyz, idx)
+
+        pre = features
+        x = nn.Dense(self.d_model, name="fc1")(features)
+        q = nn.Dense(self.d_model, use_bias=False, name="w_qs")(x)
+        k_g = ops.group(nn.Dense(self.d_model, use_bias=False, name="w_ks")(x), idx)
+        v_g = ops.group(nn.Dense(self.d_model, use_bias=False, name="w_vs")(x), idx)
+
+        rel = xyz[:, :, None, :] - knn_xyz
+        pos = nn.Dense(self.d_model, name="fc_delta2")(
+            nn.relu(nn.Dense(self.d_model, name="fc_delta1")(rel))
+        )
+        attn = nn.Dense(self.d_model, name="fc_gamma2")(
+            nn.relu(nn.Dense(self.d_model, name="fc_gamma1")(q[:, :, None] - k_g + pos))
+        )
+        attn = nn.softmax(attn / jnp.sqrt(self.d_model), axis=2)
+        res = jnp.sum(attn * (v_g + pos), axis=2)
+        return nn.Dense(features.shape[-1], name="fc2")(res) + pre

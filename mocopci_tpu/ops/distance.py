@@ -62,8 +62,12 @@ def cosine_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
 
 
 def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
-    """Indices of the k smallest entries along the last axis. (B, N, k) int32."""
-    _, idx = jax.lax.top_k(-dists, k)
+    """Indices of the k smallest entries along the last axis. (B, N, k) int32.
+
+    k is clamped to the number of reference points (only reachable in tiny
+    test configs; the production pyramid always has >= k points per level).
+    """
+    _, idx = jax.lax.top_k(-dists, min(k, dists.shape[-1]))
     return idx.astype(jnp.int32)
 
 

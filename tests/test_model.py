@@ -1,0 +1,84 @@
+"""Model-level tests on the tiny config (same structure as the full model)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mocopci_tpu.config import tiny_model_config
+from mocopci_tpu.models import MoCoPCI, area_resize_matrix, time_embedding
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = tiny_model_config(128)
+    model = MoCoPCI(cfg)
+    rngk = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.npoints, 3))
+    x2 = x1 + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (2, cfg.npoints, 3))
+    variables = model.init({"params": rngk, "dropout": rngk}, x1, x2, train=True)
+    return cfg, model, variables, x1, x2
+
+
+def test_eval_forward_shapes(tiny_setup):
+    cfg, model, variables, x1, x2 = tiny_setup
+    out = model.apply(variables, x1, x2, train=False, deterministic=True,
+                      mutable=False)
+    assert out["out"].shape == (2, 3, cfg.npoints, 3)
+    assert np.isfinite(np.asarray(out["out"])).all()
+
+
+def test_train_forward_contract(tiny_setup):
+    cfg, model, variables, x1, x2 = tiny_setup
+    out, _ = model.apply(
+        variables, x1, x2, train=True, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["batch_stats"],
+    )
+    n0 = cfg.npoints
+    n1, n2, n3, _ = cfg.pyramid
+    sizes = [n0, n0, n1, n2, n3]
+    for key in ("frames_f", "frames_b"):
+        assert len(out[key]) == 5
+        for arr, n in zip(out[key], sizes):
+            assert arr.shape == (2, 3, n, 3), (key, arr.shape, n)
+            assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_outputs_depend_on_inputs(tiny_setup):
+    cfg, model, variables, x1, x2 = tiny_setup
+    o1 = model.apply(variables, x1, x2, train=False)["out"]
+    o2 = model.apply(variables, x1, x2 + 0.1, train=False)["out"]
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def test_interpolated_frames_near_inputs(tiny_setup):
+    """The untrained net's output is anchored at warped input points, so it
+    should stay within the data's bounding scale (sanity, not accuracy)."""
+    cfg, model, variables, x1, x2 = tiny_setup
+    out = model.apply(variables, x1, x2, train=False)["out"]
+    assert float(jnp.abs(out).max()) < 100.0
+
+
+def test_time_embedding_matches_reference_loop():
+    ts = [0.0, 0.41666666666666663, 0.5]
+    dim = 6
+    got = np.asarray(time_embedding(ts, dim))
+    import math
+    want = np.zeros((3, 6), np.float32)
+    for i, t in enumerate(ts):
+        for j in range(0, dim, 2):
+            want[i, j] = math.sin(t * math.pow(10000, -j / dim))
+            if j + 1 < dim:
+                want[i, j + 1] = math.cos(t * math.pow(10000, -(j + 1) / dim))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_area_resize_matrix_matches_adaptive_avg_pool():
+    """Compare against torch.nn.functional.interpolate(mode='area')."""
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).normal(size=(2, 5, 3)).astype(np.float32)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=32, mode="area"
+    ).numpy()
+    A = np.asarray(area_resize_matrix(3, 32))
+    got = np.einsum("bnc,dc->bnd", x, A)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

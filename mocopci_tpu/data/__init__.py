@@ -1,0 +1,2 @@
+from mocopci_tpu.data.nldrive import NLDriveDataset, batches
+from mocopci_tpu.data.synthetic import SyntheticInterpolationDataset

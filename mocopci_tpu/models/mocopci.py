@@ -254,7 +254,8 @@ class MultiFrameEstimator(nn.Module):
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
         neighbor = ops.group(points2, idx)                     # (B,N,2k,3)
         resi = neighbor - points1[:, :, None, :]
-        dist = jnp.linalg.norm(resi, axis=-1, keepdims=True)
+        # safe sqrt: zero-distance neighbours would give NaN grads otherwise
+        dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
         h = jnp.concatenate([resi, dist], axis=-1)             # (B,N,2k,4)
         for dense, bn in zip(self.fusion_dense, self.fusion_bn):
             h = nn.relu(bn(dense(h), train))

@@ -31,7 +31,10 @@ def _inverse_distance_weights(
     B, N, _ = query_xyz.shape
     neigh = group(ref_xyz, knn_idx)                     # (B, N, k, 3)
     diff = neigh - query_xyz[:, :, None, :]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    # epsilon inside the sqrt: pyramid levels share exact points (FPS), and
+    # sqrt at 0 has an infinite derivative that torch's norm masks but JAX
+    # does not — clamping after the sqrt would still produce 0·inf = NaN grads.
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-20)
     dist = jnp.maximum(dist, 1e-10)
     w = 1.0 / dist
     return w / jnp.sum(w, axis=-1, keepdims=True)       # (B, N, k)

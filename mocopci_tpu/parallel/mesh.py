@@ -1,0 +1,39 @@
+"""Device mesh and sharding helpers.
+
+The reference's entire distributed surface is single-process
+``torch.nn.DataParallel`` (``train.py:75-78``).  TPU-native, data parallelism
+is expressed declaratively: a 2-D ``("data", "model")`` mesh, batch sharded on
+``data``, parameters replicated; XLA inserts the gradient all-reduce over ICI.
+The ``model`` axis is a standing hook for point-dimension sharding at stress
+sizes (SURVEY.md §5.7) — size 1 for the reference-scale model.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
+    devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of (B, ...) arrays batch-sharded over the mesh."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

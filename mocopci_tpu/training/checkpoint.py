@@ -1,0 +1,73 @@
+"""Orbax checkpointing.
+
+Replaces the reference's ``torch.save({'net','optimizer','scheduler','epoch'})``
+best-by-train-loss policy (``train.py:202-227``) with preemption-safe Orbax
+saves of the full train state; also keeps a ``latest`` step for proper resume
+(the reference's ``--resume`` has a hard-coded path, ``train.py:89-96``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from mocopci_tpu.training.loop import TrainState
+
+
+def _abspath(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = _abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, epoch: int, state: TrainState, metrics: Optional[Dict] = None):
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+            ),
+            metrics=metrics,
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: TrainState, epoch: Optional[int] = None) -> TrainState:
+        epoch = self._mgr.latest_step() if epoch is None else epoch
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            epoch,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )["state"]
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def close(self):
+        self._mgr.close()

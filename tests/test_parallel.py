@@ -1,0 +1,67 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mocopci_tpu.config import TrainConfig, tiny_model_config
+from mocopci_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from mocopci_tpu.training import create_train_state, train_step
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_dp_train_step_on_mesh():
+    cfg = tiny_model_config(64)
+    tcfg = TrainConfig(lr=1e-3)
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=1)
+
+    mesh = make_mesh()
+    B = 8
+    rngn = np.random.default_rng(0)
+    batch = {
+        "pc1": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "pc2": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "gt": rngn.normal(size=(B, 3, cfg.npoints, 3)).astype(np.float32),
+    }
+    sharded = shard_batch(mesh, batch)
+    # params replicated
+    state = jax.device_put(state, replicated(mesh))
+    assert sharded["pc1"].sharding == batch_sharding(mesh)
+
+    new_state, aux = train_step(state, sharded, jax.random.PRNGKey(0), cfg, tcfg)
+    assert np.isfinite(float(aux["loss"]))
+    # gradients were all-reduced: params remain replicated (fully addressable)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device():
+    """The mesh-sharded step must produce the same loss as single-device."""
+    cfg = tiny_model_config(64)
+    tcfg = TrainConfig(lr=1e-3)
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=1)
+
+    rngn = np.random.default_rng(1)
+    B = 8
+    batch = {
+        "pc1": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "pc2": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "gt": rngn.normal(size=(B, 3, cfg.npoints, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+    # deterministic=False uses dropout whose per-shard rng folding can differ;
+    # compare the forward-dominated first-step loss which uses the same rng key
+    _, aux_single = train_step(state, jb, rng, cfg, tcfg)
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch)
+    state_r = jax.device_put(state, replicated(mesh))
+    _, aux_mesh = train_step(state_r, sharded, rng, cfg, tcfg)
+    np.testing.assert_allclose(
+        float(aux_single["loss"]), float(aux_mesh["loss"]), rtol=1e-4
+    )

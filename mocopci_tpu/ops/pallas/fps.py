@@ -24,7 +24,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     # xyz_ref: (1, 8, Npad) f32 in VMEM — rows 0..2 are x/y/z, rest padding.
-    # out_ref: (1, npoint) int32 in SMEM.
+    # out_ref: (1, 1, npoint) int32 in SMEM.
     npad = xyz_ref.shape[-1]
     xv = xyz_ref[0, 0:1, :]
     yv = xyz_ref[0, 1:2, :]
@@ -33,20 +33,24 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     valid = lane < n_real
     mind0 = jnp.where(valid, jnp.full((1, npad), 1e10, jnp.float32), -1.0)
 
-    out_ref[0, 0] = 0
+    out_ref[0, 0, 0] = 0
 
     def body(i, carry):
-        mind, last = carry
-        px = lax.dynamic_slice(xv, (0, last), (1, 1))
-        py = lax.dynamic_slice(yv, (0, last), (1, 1))
-        pz = lax.dynamic_slice(zv, (0, last), (1, 1))
+        # carry: (mind, last-selected point's coords as (1,1) scalars)
+        mind, px, py, pz = carry
         d = (xv - px) ** 2 + (yv - py) ** 2 + (zv - pz) ** 2
         mind = jnp.minimum(mind, jnp.where(valid, d, -1.0))
         nxt = jnp.argmax(mind[0, :]).astype(jnp.int32)
-        out_ref[0, i] = nxt
-        return mind, nxt
+        out_ref[0, 0, i] = nxt
+        # masked reduction instead of dynamic gather (Mosaic-friendly)
+        sel = lane == nxt
+        px = jnp.sum(jnp.where(sel, xv, 0.0), axis=1, keepdims=True)
+        py = jnp.sum(jnp.where(sel, yv, 0.0), axis=1, keepdims=True)
+        pz = jnp.sum(jnp.where(sel, zv, 0.0), axis=1, keepdims=True)
+        return mind, px, py, pz
 
-    lax.fori_loop(1, npoint, body, (mind0, jnp.int32(0)))
+    p0 = (xv[:, 0:1], yv[:, 0:1], zv[:, 0:1])
+    lax.fori_loop(1, npoint, body, (mind0, *p0))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -67,8 +71,10 @@ def farthest_point_sample_pallas(
         in_specs=[
             pl.BlockSpec((1, 8, npad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         interpret=interpret,
     )(xt)
-    return out
+    return out[:, 0, :]

@@ -44,21 +44,24 @@ def main() -> None:
 
     @jax.jit
     def forward(variables, x1, x2):
-        return model.apply(variables, x1, x2, train=False, deterministic=True)["out"]
+        out = model.apply(variables, x1, x2, train=False, deterministic=True)["out"]
+        # scalar probe: forces full execution on sync without a bulk transfer
+        # (block_until_ready does not reliably block through the axon tunnel)
+        return out, jnp.sum(out)
 
     t0 = time.perf_counter()
-    out = forward(variables, x1, x2)
-    jax.block_until_ready(out)
+    _, probe = forward(variables, x1, x2)
+    np.asarray(probe)
     compile_s = time.perf_counter() - t0
 
     # warmup + timed runs
     for _ in range(3):
-        jax.block_until_ready(forward(variables, x1, x2))
+        np.asarray(forward(variables, x1, x2)[1])
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, x1, x2)
-    jax.block_until_ready(out)
+        _, probe = forward(variables, x1, x2)
+    np.asarray(probe)
     elapsed = (time.perf_counter() - t0) / iters
 
     pairs_per_sec = batch / elapsed

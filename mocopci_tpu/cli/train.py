@@ -1,0 +1,150 @@
+"""Training entry point — flag-compatible with the reference ``train.py:18-37``.
+
+Additions over the reference: ``--synthetic`` (no-dataset smoke training),
+``--tiny`` (small model for CI), proper ``--resume`` (latest checkpoint instead
+of the reference's hard-coded path, ``train.py:89-96``), and data parallelism
+over all visible devices via a (data, model) mesh instead of
+``torch.nn.DataParallel``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="MoCoPCI-TPU")
+    # training setting (reference names)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--lr", type=float, default=0.001, help="Learning rate.")
+    p.add_argument("--weight_decay", type=float, default=0.0001, help="Weight decay.")
+    p.add_argument("--resume", action="store_true", help="continue from latest checkpoint")
+    p.add_argument("--save_dir", type=str, default="outputs")
+    # dataset setting (reference names)
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--scene_list", type=str, default="")
+    p.add_argument("--interval", type=int, default=4)
+    p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--npoints", type=int, default=8192)
+    p.add_argument("--t_begin", type=float, default=0.0)
+    p.add_argument("--t_end", type=float, default=1.0)
+    # TPU-native additions
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic samples instead of NL-Drive")
+    p.add_argument("--tiny", action="store_true", help="tiny model config (tests)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-epoch metrics to this CSV")
+    return p.parse_args(argv)
+
+
+def get_timestamp(args):
+    """Reference ``get_timestamp`` (``train.py:49-55``)."""
+    time_seq = list(np.linspace(args.t_begin, args.t_end, args.num_frames))
+    t_left = time_seq[args.num_frames // 2 - 1]
+    t_right = time_seq[args.num_frames // 2]
+    time_intp = list(np.linspace(t_left, t_right, args.interval + 1))[1:-1]
+    return time_seq, time_intp
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    # honour JAX_PLATFORMS even when a sitecustomize pre-registered a backend
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
+    from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
+    from mocopci_tpu.parallel import make_mesh, replicated, shard_batch
+    from mocopci_tpu.training import (
+        CheckpointManager,
+        create_train_state,
+        train_step,
+    )
+
+    model_cfg = tiny_model_config(args.npoints) if args.tiny else ModelConfig(
+        npoints=args.npoints
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+    )
+
+    if args.synthetic:
+        dataset = SyntheticInterpolationDataset(
+            length=args.synthetic, num_points=args.npoints, seed=args.seed
+        )
+    else:
+        assert args.data_root and args.scene_list, "--data_root/--scene_list or --synthetic"
+        scene_list = args.scene_list
+        if not scene_list.endswith(".txt"):
+            scene_list = scene_list + "_list.txt"  # reference convention (train.py:61)
+        dataset = NLDriveDataset(
+            args.data_root, scene_list, args.npoints, args.interval, args.num_frames
+        )
+
+    steps_per_epoch = max(len(dataset) // train_cfg.batch_size, 1)
+    _, state = create_train_state(model_cfg, train_cfg, steps_per_epoch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"the number of network parameters: {n_params}")
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))
+    start_epoch = 0
+    if args.resume and ckpt.latest_epoch() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(ckpt.latest_epoch()) + 1
+        print(f"resumed from epoch {start_epoch - 1}")
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    best_loss_f = float("inf")
+    for epoch in range(start_epoch, train_cfg.epochs):
+        t0 = time.time()
+        sums, count = {}, 0
+        for batch in batches(dataset, train_cfg.batch_size, shuffle=True, seed=epoch):
+            rng, sub = jax.random.split(rng)
+            state, aux = train_step(
+                state, shard_batch(mesh, batch), sub, model_cfg, train_cfg
+            )
+            count += 1
+            if count % args.log_every == 0:
+                aux = {k: float(v) for k, v in aux.items()}
+                print(
+                    f"Train Epoch:{epoch + 1}[{count}/{steps_per_epoch}]"
+                    + "".join(f"\t{k}: {v:.6f}" for k, v in sorted(aux.items()))
+                )
+            for k, v in aux.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        dt = time.time() - t0
+        print(f"Epoch {epoch + 1} finished", json.dumps({**means, "epoch_time_s": dt}))
+        if args.metrics_csv:
+            header = not os.path.exists(args.metrics_csv)
+            with open(args.metrics_csv, "a") as f:
+                if header:
+                    f.write("epoch," + ",".join(sorted(means)) + "\n")
+                f.write(f"{epoch}," + ",".join(f"{means[k]:.6f}" for k in sorted(means)) + "\n")
+        # best-by-train-loss_f checkpoint policy (ref train.py:202-215)
+        if means.get("loss_f", float("inf")) < best_loss_f:
+            best_loss_f = means["loss_f"]
+            ckpt.save(epoch, state, metrics=means)
+            print(f"Best train loss: {best_loss_f:.4f} (checkpoint saved)")
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

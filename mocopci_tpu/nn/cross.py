@@ -55,9 +55,8 @@ def _cross_core(
     idx: jax.Array,
 ) -> jax.Array:
     """Shared grouped-correlation body: gather, pos-encode, MLP, max-pool."""
-    neighbor_xyz = ops.group(xyz2, idx)                       # (B,N1,2k,3)
+    neighbor_xyz, g2 = ops.group_multi(idx, xyz2, points2)    # (B,N1,2k,3/D)
     direction = neighbor_xyz - xyz1[:, :, None, :]
-    g2 = ops.group(points2, idx)                              # (B,N1,2k,D)
     g1 = points1[:, :, None, :]                               # broadcast over k
     x = nn.leaky_relu(g2 + g1 + pos(direction), LEAKY_RATE)
     for layer in mlp:

@@ -49,8 +49,7 @@ class PointConv(nn.Module):
     def __call__(self, xyz, feat):
         """xyz: (B, N, 3); feat: (B, N, D) -> (B, N, out)."""
         idx = ops.knn(self.nsample, xyz, xyz)
-        grouped_xyz = ops.group(xyz, idx)
-        grouped_feat = ops.group(feat, idx)
+        grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
         wn = WeightNet(self.weightnet, name="weightnet")
         lin = nn.Dense(self.out_channel, name="linear")
         return _pointconv_core(wn, lin, xyz, grouped_xyz, grouped_feat)
@@ -71,8 +70,7 @@ class PointConvD(nn.Module):
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather(xyz, fps_idx)
         idx = ops.knn(self.nsample, xyz, new_xyz)
-        grouped_xyz = ops.group(xyz, idx)
-        grouped_feat = ops.group(feat, idx)
+        grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
         wn = WeightNet(self.weightnet, name="weightnet")
         lin = nn.Dense(self.out_channel, name="linear")
         return new_xyz, _pointconv_core(wn, lin, new_xyz, grouped_xyz, grouped_feat)

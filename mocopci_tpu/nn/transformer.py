@@ -20,13 +20,13 @@ class PointTransformerBlock(nn.Module):
     def __call__(self, features, xyz):
         """features: (B, N, d_points); xyz: (B, N, 3) -> (B, N, d_points)."""
         idx = ops.knn(self.k, xyz, xyz)            # sorted ascending == argsort[:k]
-        knn_xyz = ops.group(xyz, idx)
 
         pre = features
         x = nn.Dense(self.d_model, name="fc1")(features)
         q = nn.Dense(self.d_model, use_bias=False, name="w_qs")(x)
-        k_g = ops.group(nn.Dense(self.d_model, use_bias=False, name="w_ks")(x), idx)
-        v_g = ops.group(nn.Dense(self.d_model, use_bias=False, name="w_vs")(x), idx)
+        ks = nn.Dense(self.d_model, use_bias=False, name="w_ks")(x)
+        vs = nn.Dense(self.d_model, use_bias=False, name="w_vs")(x)
+        knn_xyz, k_g, v_g = ops.group_multi(idx, xyz, ks, vs)
 
         rel = xyz[:, :, None, :] - knn_xyz
         pos = nn.Dense(self.d_model, name="fc_delta2")(

@@ -14,6 +14,7 @@ from mocopci_tpu.ops.distance import (
     cosine_distance,
     knn,
     knn_cosine,
+    set_knn_mode,
     square_distance,
 )
 from mocopci_tpu.ops.emd import approx_match, earth_mover_distance, emd, match_cost
@@ -24,6 +25,7 @@ from mocopci_tpu.ops.sampling import (
     farthest_point_sample_xla,
     gather,
     group,
+    group_multi,
 )
 
 __all__ = [
@@ -34,6 +36,7 @@ __all__ = [
     "cosine_distance",
     "knn",
     "knn_cosine",
+    "set_knn_mode",
     "square_distance",
     "approx_match",
     "earth_mover_distance",
@@ -47,4 +50,5 @@ __all__ = [
     "farthest_point_sample_xla",
     "gather",
     "group",
+    "group_multi",
 ]

@@ -17,19 +17,15 @@ import jax
 import jax.numpy as jnp
 
 from mocopci_tpu.ops.distance import knn
-from mocopci_tpu.ops.sampling import group
+from mocopci_tpu.ops.sampling import group, group_multi
 
 
-def _inverse_distance_weights(
-    query_xyz: jax.Array, ref_xyz: jax.Array, knn_idx: jax.Array
-) -> jax.Array:
-    """1/d weights over k neighbours, normalised; d clamped at 1e-10.
+def _inverse_distance_weights(query_xyz: jax.Array, neigh: jax.Array) -> jax.Array:
+    """1/d weights over k gathered neighbours (B,N,k,3), normalised; d >= 1e-10.
 
     Matches ``UpsampleFlow``'s ``torch.norm(...).clamp(min=1e-10)`` weighting
     (``pointconv_util.py:1205-1208``).
     """
-    B, N, _ = query_xyz.shape
-    neigh = group(ref_xyz, knn_idx)                     # (B, N, k, 3)
     diff = neigh - query_xyz[:, :, None, :]
     # epsilon inside the sqrt: pyramid levels share exact points (FPS), and
     # sqrt at 0 has an infinite derivative that torch's norm masks but JAX
@@ -47,6 +43,8 @@ def upsample(
 
     Ref ``UpsampleFlow`` (``pointconv_util.py:1193-1212``): 3-NN in the sparse
     cloud around each dense point, inverse-distance weighted average.
+    One fused gather serves both the weight computation and the features
+    (TPU gathers are row-rate bound).
 
     Args:
       dense_xyz:  (B, N, 3)
@@ -56,8 +54,8 @@ def upsample(
       (B, N, C)
     """
     idx = knn(k, sparse_xyz, dense_xyz)
-    w = _inverse_distance_weights(dense_xyz, sparse_xyz, idx)
-    feats = group(sparse_feat, idx)                     # (B, N, k, C)
+    neigh, feats = group_multi(idx, sparse_xyz, sparse_feat)
+    w = _inverse_distance_weights(dense_xyz, neigh)
     return jnp.sum(w[..., None] * feats, axis=2)
 
 
@@ -90,7 +88,7 @@ def point_warp(xyz1: jax.Array, xyz2: jax.Array, flow1: jax.Array) -> jax.Array:
     """
     xyz1_to_2 = xyz1 + flow1
     idx = knn(3, xyz1_to_2, xyz2)
-    w = _inverse_distance_weights(xyz2, xyz1_to_2, idx)
-    flows = group(flow1, idx)                           # (B, N2, 3, 3)
+    neigh, flows = group_multi(idx, xyz1_to_2, flow1)
+    w = _inverse_distance_weights(xyz2, neigh)
     flow2 = jnp.sum(w[..., None] * flows, axis=2)
     return xyz2 - flow2

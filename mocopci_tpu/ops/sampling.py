@@ -60,7 +60,14 @@ def farthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
 
 
 def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
-    """FPS dispatching to the Pallas kernel on TPU, XLA scan elsewhere."""
+    """FPS dispatching to the Pallas kernel on TPU, XLA scan elsewhere.
+
+    Index selection is non-differentiable (the CUDA original marks it
+    non-diff too, ``pointnet2_utils.py:33-36``), so gradients are stopped at
+    the input — this also keeps autodiff from trying to linearise through the
+    Pallas kernel.
+    """
+    xyz = lax.stop_gradient(xyz)
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - no backend
@@ -93,6 +100,25 @@ def group(points: jax.Array, idx: jax.Array) -> jax.Array:
         points, idx.reshape(B, S * K, 1).astype(jnp.int32), axis=1
     )
     return flat.reshape(B, S, K, C)
+
+
+def group_multi(idx: jax.Array, *arrays: jax.Array):
+    """Gather several (B, N, C_i) arrays with the SAME (B, S, K) indices.
+
+    TPU gathers are row-rate bound (~2 cycles/row regardless of row width), so
+    concatenating channels first and gathering once is ~len(arrays)× cheaper
+    than separate gathers.  Returns one (B, S, K, C_i) array per input.
+    """
+    if len(arrays) == 1:
+        return (group(arrays[0], idx),)
+    widths = [a.shape[-1] for a in arrays]
+    cat = jnp.concatenate(arrays, axis=-1)
+    g = group(cat, idx)
+    out, off = [], 0
+    for w in widths:
+        out.append(g[..., off : off + w])
+        off += w
+    return tuple(out)
 
 
 def downsample_fps(points: jax.Array, npoint: int) -> jax.Array:

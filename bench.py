@@ -39,7 +39,10 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    variables = model.init({"params": rng, "dropout": rng}, x1, x2, train=False)
+    variables = jax.jit(
+        lambda a, b: model.init({"params": rng, "dropout": rng}, a, b, train=False)
+    )(x1, x2)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), variables)
     init_s = time.perf_counter() - t0
 
     @jax.jit

@@ -31,7 +31,7 @@ from flax import linen as nn
 from mocopci_tpu import ops
 from mocopci_tpu.config import ModelConfig
 from mocopci_tpu.nn.attention import CrossFrameBlock, EICrossformer, MultiFrameBlock
-from mocopci_tpu.nn.basic import BatchNorm, ConvLReLU
+from mocopci_tpu.nn.basic import ConvLReLU, FrameBatchNorm
 from mocopci_tpu.nn.cross import (
     BidirectionalLayerFeatCosine,
     CrossLayerFeatCosine,
@@ -71,6 +71,28 @@ def area_resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
         end = -(-((i + 1) * n_in) // n_out)  # ceil
         A[i, start:end] = 1.0 / (end - start)
     return jnp.asarray(A)
+
+
+def _upsample_feats_and_frames(dense_xyz, sparse_xyz, feats, frames):
+    """One shared-geometry upsample for feature fields + per-frame flows.
+
+    Args:
+      feats: tuple of (B, S, C_i) feature fields (possibly empty).
+      frames: (B, F, S, 3) per-frame flow fields.
+    Returns:
+      (tuple of upsampled feats (B, N, C_i), upsampled frames (B, F, N, 3)).
+    """
+    B, F, S, _ = frames.shape
+    flows_cat = frames.transpose(0, 2, 1, 3).reshape(B, S, F * 3)
+    res = ops.upsample_multi(dense_xyz, sparse_xyz, list(feats) + [flows_cat])
+    up = res[-1].reshape(B, dense_xyz.shape[1], F, 3).transpose(0, 2, 1, 3)
+    return tuple(res[:-1]), up
+
+
+def _upsample_feat_and_frames(dense_xyz, sparse_xyz, feat, frames):
+    feats = () if feat is None else (feat,)
+    ups, up_frames = _upsample_feats_and_frames(dense_xyz, sparse_xyz, feats, frames)
+    return (ups[0] if feat is not None else None), up_frames
 
 
 class PointConvEncoder(nn.Module):
@@ -163,14 +185,43 @@ class MultiframeAttention(nn.Module):
         c_feat1 = jnp.concatenate([feat1_0, feat1_1, feat1_new], axis=-1)
         c_feat2 = jnp.concatenate([feat2_0, feat2_1, feat2_new], axis=-1)
 
-        fes = []
-        f1n = f2n = None
-        for i in range(up_frames.shape[1]):
-            pc2_warp = ops.point_warp(pc1, pc2, up_frames[:, i])
-            f1n, f2n = self.bid(pc1, pc2_warp, c_feat1, c_feat2, feat1_0, feat2_0)
-            fes.append(self.fe(pc1, pc2_warp, f1n, f2n, feat1_0, feat2_0))
+        # The reference loops the warp→bid→fe block over the 3 candidate frames
+        # (mocopci.py:191-197) with *unchanged* weights and features — only the
+        # warped geometry differs.  Fold the frame axis into the batch axis:
+        # one op per stage instead of three, and compute the feature-space
+        # cosine kNN (identical for every frame AND shared by bid/fe) once.
+        B, F = up_frames.shape[:2]
+        k_half = self.flow_nei // 2
+        idx_cos_12 = ops.knn_cosine(k_half, feat2_0, feat1_0)
+        idx_cos_21 = ops.knn_cosine(k_half, feat1_0, feat2_0)
 
-        x = jnp.stack([f1n, *fes[:3], f2n], axis=1)          # (B, 5, N, C)
+        def rep(x):
+            return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:]).reshape(
+                (B * F,) + x.shape[1:]
+            )
+
+        def fold(x):
+            return x.reshape((B * F,) + x.shape[2:])
+
+        pc1_r, pc2_r = rep(pc1), rep(pc2)
+        pc2_warp = ops.point_warp(pc1_r, pc2_r, fold(up_frames))
+        f1n_all, f2n_all = self.bid(
+            pc1_r, pc2_warp, rep(c_feat1), rep(c_feat2), rep(feat1_0), rep(feat2_0),
+            rep(idx_cos_12), rep(idx_cos_21),
+        )
+        fe_all = self.fe(
+            pc1_r, pc2_warp, f1n_all, f2n_all, rep(feat1_0), rep(feat2_0),
+            rep(idx_cos_12),
+        )
+        f1n_all = f1n_all.reshape((B, F) + f1n_all.shape[1:])
+        f2n_all = f2n_all.reshape((B, F) + f2n_all.shape[1:])
+        fe_all = fe_all.reshape((B, F) + fe_all.shape[1:])
+        # the reference keeps the LAST iteration's bid outputs (mocopci.py:195, 200)
+        f1n, f2n = f1n_all[:, -1], f2n_all[:, -1]
+
+        x = jnp.concatenate(
+            [f1n[:, None], fe_all[:, :3], f2n[:, None]], axis=1
+        )                                                     # (B, 5, N, C)
         x = x + time_embedding(ts, self.feat_ch)[None, :, None, :]
         feats, frames = self.cross_block(x, train, deterministic)
         feats = self.downsample(feats)                        # latent -> feat_ch
@@ -232,9 +283,9 @@ class MultiFrameEstimator(nn.Module):
             nn.Dense(c2, name="fusion_conv2"),
         ]
         self.fusion_bn = [
-            BatchNorm(name="fusion_bn0"),
-            BatchNorm(name="fusion_bn1"),
-            BatchNorm(name="fusion_bn2"),
+            FrameBatchNorm(eps=1e-3, name="fusion_bn0"),
+            FrameBatchNorm(eps=1e-3, name="fusion_bn1"),
+            FrameBatchNorm(eps=1e-3, name="fusion_bn2"),
         ]
 
         # refine head (ref mocopci.py:760-764)
@@ -246,22 +297,33 @@ class MultiFrameEstimator(nn.Module):
         self.pred1 = nn.Dense(c0, name="pred1")
         self.pred2 = nn.Dense(3, name="pred2")
 
-    def _fusion(self, points1, points2, train):
-        """kNN-softmax position blend (ref ``fusion``, ``mocopci.py:798-819``)."""
+    def _fusion(self, points1, points2, n_groups, train):
+        """kNN-softmax position blend (ref ``fusion``, ``mocopci.py:798-819``).
+
+        Inputs are the 3 frames folded frame-major into the batch axis
+        ((F·B, N, 3)); the reference calls fusion once per frame, so its
+        BatchNorm statistics are per frame — reproduced by normalising per
+        frame group (``n_groups`` leading groups).
+        """
         k = self.cfg.fusion_k
         idx_self = ops.knn(k, points1, points1)
         idx_cross = ops.knn(k, points2, points1)
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
-        neighbor = ops.group(points2, idx)                     # (B,N,2k,3)
+        neighbor = ops.group(points2, idx)                     # (FB,N,2k,3)
         resi = neighbor - points1[:, :, None, :]
         # safe sqrt: zero-distance neighbours would give NaN grads otherwise
         dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
-        h = jnp.concatenate([resi, dist], axis=-1)             # (B,N,2k,4)
+        h = jnp.concatenate([resi, dist], axis=-1)             # (FB,N,2k,4)
+        fb = h.shape[0]
         for dense, bn in zip(self.fusion_dense, self.fusion_bn):
-            h = nn.relu(bn(dense(h), train))
+            h = dense(h)
+            h = h.reshape((n_groups, fb // n_groups) + h.shape[1:])
+            h = bn(h, train)
+            h = h.reshape((fb,) + h.shape[2:])
+            h = nn.relu(h)
         h = jnp.max(h, axis=-1)                                # max over channels
         w = jax.nn.softmax(h, axis=-1)                         # softmax over 2k
-        return jnp.sum(w[..., None] * neighbor, axis=2)        # (B,N,3)
+        return jnp.sum(w[..., None] * neighbor, axis=2)        # (FB,N,3)
 
     def _refine(self, feat0, base_pc, up_flow, train):
         """Full-res compensation head (ref ``mocopci.py:1017-1038``)."""
@@ -309,20 +371,18 @@ class MultiFrameEstimator(nn.Module):
             jnp.stack([f2n_l3, f1n_l3], axis=1), train, deterministic
         )
 
-        feat1_l3_2 = self.deconv3_2(ops.upsample(pc1s[2], pc1s[3], f1n_l3))
-        feat2_l3_2 = self.deconv3_2(ops.upsample(pc2s[2], pc2s[3], f2n_l3))
-
-        # L3 -> L2 candidate flows (mocopci.py:864-878)
-        up_frame2_f = jnp.stack(
-            [ops.upsample(pc1s[2], pc1s[3], frame3_f[:, i]) for i in range(F)], 1
+        # L3 -> L2: one kNN/gather per cloud serves the deconv feature AND the
+        # 3 candidate flows (identical geometry — see upsample_multi)
+        feat1_l3_2, up_frame2_f = _upsample_feat_and_frames(
+            pc1s[2], pc1s[3], f1n_l3, frame3_f
         )
-        up_frame2_b = jnp.stack(
-            [ops.upsample(pc2s[2], pc2s[3], frame3_b[:, i]) for i in range(F)], 1
+        feat2_l3_2, up_frame2_b = _upsample_feat_and_frames(
+            pc2s[2], pc2s[3], f2n_l3, frame3_b
         )
-        frames3_out_f = jnp.stack([pc1s[3] + frame3_f[:, i] for i in range(F)], 1)
-        frames3_out_b = jnp.stack(
-            [pc2s[3] + frame3_b[:, F - 1 - i] for i in range(F)], 1
-        )
+        feat1_l3_2 = self.deconv3_2(feat1_l3_2)
+        feat2_l3_2 = self.deconv3_2(feat2_l3_2)
+        frames3_out_f = pc1s[3][:, None] + frame3_f
+        frames3_out_b = pc2s[3][:, None] + jnp.flip(frame3_b, axis=1)
 
         # L2 (mocopci.py:882-916)
         frame2_f, f1n_l2_f, f2n_l2_f, _ = self.multi_frame_up_2(
@@ -334,22 +394,20 @@ class MultiFrameEstimator(nn.Module):
             feat2s[2], fus2, feat1s[2], fus2, up_frame2_b, t_b, train, deterministic,
         )
 
-        feat1_l2_1_f = self.deconv2_1(ops.upsample(pc1s[1], pc1s[2], f1n_l2_f))
-        feat2_l2_1_f = self.deconv2_1(ops.upsample(pc2s[1], pc2s[2], f2n_l2_f))
-        feat1_l2_1_b = self.deconv2_1(ops.upsample(pc1s[1], pc1s[2], f1n_l2_b))
-        feat2_l2_1_b = self.deconv2_1(ops.upsample(pc2s[1], pc2s[2], f2n_l2_b))
-
-        # L2 -> L1 (mocopci.py:930-944)
-        up_frame1_f = jnp.stack(
-            [ops.upsample(pc1s[1], pc1s[2], frame2_f[:, i]) for i in range(F)], 1
+        # L2 -> L1: per cloud, one kNN/gather for both directions' features and
+        # the candidate flows (mocopci.py:920-944 recomputes it 8×)
+        (feat1_l2_1_f, feat1_l2_1_b), up_frame1_f = _upsample_feats_and_frames(
+            pc1s[1], pc1s[2], (f1n_l2_f, f1n_l2_b), frame2_f
         )
-        up_frame1_b = jnp.stack(
-            [ops.upsample(pc2s[1], pc2s[2], frame2_b[:, i]) for i in range(F)], 1
+        (feat2_l2_1_f, feat2_l2_1_b), up_frame1_b = _upsample_feats_and_frames(
+            pc2s[1], pc2s[2], (f2n_l2_f, f2n_l2_b), frame2_b
         )
-        frames2_out_f = jnp.stack([pc1s[2] + frame2_f[:, i] for i in range(F)], 1)
-        frames2_out_b = jnp.stack(
-            [pc2s[2] + frame2_b[:, F - 1 - i] for i in range(F)], 1
-        )
+        feat1_l2_1_f = self.deconv2_1(feat1_l2_1_f)
+        feat2_l2_1_f = self.deconv2_1(feat2_l2_1_f)
+        feat1_l2_1_b = self.deconv2_1(feat1_l2_1_b)
+        feat2_l2_1_b = self.deconv2_1(feat2_l2_1_b)
+        frames2_out_f = pc1s[2][:, None] + frame2_f
+        frames2_out_b = pc2s[2][:, None] + jnp.flip(frame2_b, axis=1)
 
         # L1 (mocopci.py:947-981)
         frame1_f, f1n_l1_f, f2n_l1_f, _ = self.multi_frame_up_1(
@@ -363,47 +421,43 @@ class MultiFrameEstimator(nn.Module):
 
         # L1 -> L0: note the backward branch uses time-reversed frame order
         # (mocopci.py:1002-1006)
-        up_frame0_f = jnp.stack(
-            [ops.upsample(pc1s[0], pc1s[1], frame1_f[:, i]) for i in range(F)], 1
+        _, up_frame0_f = _upsample_feat_and_frames(pc1s[0], pc1s[1], None, frame1_f)
+        _, up_frame0_b = _upsample_feat_and_frames(
+            pc2s[0], pc2s[1], None, jnp.flip(frame1_b, axis=1)
         )
-        up_frame0_b = jnp.stack(
-            [ops.upsample(pc2s[0], pc2s[1], frame1_b[:, F - 1 - i]) for i in range(F)],
-            1,
-        )
-        frames1_out_f = jnp.stack([pc1s[1] + frame1_f[:, i] for i in range(F)], 1)
-        frames1_out_b = jnp.stack(
-            [pc2s[1] + frame1_b[:, F - 1 - i] for i in range(F)], 1
-        )
+        frames1_out_f = pc1s[1][:, None] + frame1_f
+        frames1_out_b = pc2s[1][:, None] + jnp.flip(frame1_b, axis=1)
 
-        # L0: warp, refine, fuse (mocopci.py:1009-1053)
-        out, w_f, w_b, w_f_r, w_b_r = [], [], [], [], []
-        for i in range(F):
-            warped_pc1t = pc1s[0] + up_frame0_f[:, i]
-            warped_pc2t = pc2s[0] + up_frame0_b[:, i]
-            w_f.append(warped_pc1t)
-            w_b.append(warped_pc2t)
-            w_f_r.append(pc1s[0] + up_frame0_b[:, F - 1 - i])
-            w_b_r.append(pc2s[0] + up_frame0_f[:, F - 1 - i])
-            if i <= 1:
-                refine_out = self._refine(
-                    feat1s[0], warped_pc1t, up_frame0_f[:, i], train
-                )
-                out.append(self._fusion(warped_pc1t, refine_out, train))
-            else:
-                refine_out = self._refine(
-                    feat2s[0], warped_pc2t, up_frame0_b[:, i], train
-                )
-                out.append(self._fusion(warped_pc2t, refine_out, train))
+        # L0: warp, refine, fuse (mocopci.py:1009-1053).
+        # The reference runs the refine head + fusion once per frame in Python;
+        # the three calls share weights, so they are folded frame-major into
+        # the batch axis and run as ONE op sequence.
+        B = pc1s[0].shape[0]
+        warped_f = pc1s[0][:, None] + up_frame0_f            # (B,F,N,3)
+        warped_b = pc2s[0][:, None] + up_frame0_b
+        warped_f_r = pc1s[0][:, None] + jnp.flip(up_frame0_b, 1)
+        warped_b_r = pc2s[0][:, None] + jnp.flip(up_frame0_f, 1)
 
-        result = {"out": jnp.stack(out, axis=1)}             # (B, 3, N, 3)
+        # frames 0,1 refine the forward warp from frame-1 features; frame 2
+        # refines the backward warp from frame-2 features (mocopci.py:1017-1038)
+        base = jnp.concatenate(
+            [warped_f[:, 0], warped_f[:, 1], warped_b[:, 2]], axis=0
+        )                                                     # (3B, N, 3)
+        feat0 = jnp.concatenate([feat1s[0], feat1s[0], feat2s[0]], axis=0)
+        flows = jnp.concatenate(
+            [up_frame0_f[:, 0], up_frame0_f[:, 1], up_frame0_b[:, 2]], axis=0
+        )
+        refine_out = self._refine(feat0, base, flows, train)
+        fused = self._fusion(base, refine_out, F, train)      # (3B, N, 3)
+        out = jnp.stack([fused[i * B : (i + 1) * B] for i in range(F)], axis=1)
+
+        result = {"out": out}                                 # (B, 3, N, 3)
         if train:
             result["frames_f"] = (
-                jnp.stack(w_f, 1), jnp.stack(w_f_r, 1),
-                frames1_out_f, frames2_out_f, frames3_out_f,
+                warped_f, warped_f_r, frames1_out_f, frames2_out_f, frames3_out_f,
             )
             result["frames_b"] = (
-                jnp.stack(w_b, 1), jnp.stack(w_b_r, 1),
-                frames1_out_b, frames2_out_b, frames3_out_b,
+                warped_b, warped_b_r, frames1_out_b, frames2_out_b, frames3_out_b,
             )
         return result
 

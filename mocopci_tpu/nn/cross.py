@@ -33,9 +33,17 @@ def _dual_knn_indices(
     knn1: jax.Array,
     knn2: jax.Array,
     euclid_swapped: bool,
+    idx_cos: jax.Array = None,
 ) -> jax.Array:
-    """Concatenated cosine-feature + Euclidean-xyz neighbour indices (B,N1,2k)."""
-    idx_cos = ops.knn_cosine(k_half, knn2, knn1)
+    """Concatenated cosine-feature + Euclidean-xyz neighbour indices (B,N1,2k).
+
+    ``idx_cos`` may be passed in when the cosine half was already computed for
+    the same (knn1, knn2) features — the bid and fe layers inside one decoder
+    stage use identical feature-space queries (``pointconv_util.py:909, 1145``),
+    and the warped-frame loop repeats them 3× with unchanged features.
+    """
+    if idx_cos is None:
+        idx_cos = ops.knn_cosine(k_half, knn2, knn1)
     if euclid_swapped:
         # BidirectionalLayerFeatCosine quirk: query xyz2 into xyz1
         assert xyz1.shape[1] == xyz2.shape[1]
@@ -116,14 +124,19 @@ class BidirectionalLayerFeatCosine(nn.Module):
             ConvLReLU(c, name=f"mlp_{i}") for i, c in enumerate(self.mlp[1:])
         ]
 
-    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2):
+    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2,
+                 idx_cos_12=None, idx_cos_21=None):
         k = self.nsample // 2
-        idx12 = _dual_knn_indices(k, pc1, pc2, knn1, knn2, euclid_swapped=True)
+        idx12 = _dual_knn_indices(
+            k, pc1, pc2, knn1, knn2, euclid_swapped=True, idx_cos=idx_cos_12
+        )
         feat1_new = _cross_core(
             self.pos, self.mlp_layers, pc1, pc2,
             self.cross_t11(feat1), self.cross_t22(feat2), idx12,
         )
-        idx21 = _dual_knn_indices(k, pc2, pc1, knn2, knn1, euclid_swapped=True)
+        idx21 = _dual_knn_indices(
+            k, pc2, pc1, knn2, knn1, euclid_swapped=True, idx_cos=idx_cos_21
+        )
         feat2_new = _cross_core(
             self.pos, self.mlp_layers, pc2, pc1,
             self.cross_t11(feat2), self.cross_t22(feat1), idx21,
@@ -145,9 +158,11 @@ class FlowEmbeddingLayer(nn.Module):
             ConvLReLU(c, name=f"mlp_{i}") for i, c in enumerate(self.mlp[1:])
         ]
 
-    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2):
+    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2, idx_cos=None):
         k = self.nsample // 2
-        idx = _dual_knn_indices(k, pc1, pc2, knn1, knn2, euclid_swapped=False)
+        idx = _dual_knn_indices(
+            k, pc1, pc2, knn1, knn2, euclid_swapped=False, idx_cos=idx_cos
+        )
         return _cross_core(
             self.pos, self.mlp_layers, pc1, pc2,
             self.conv1(feat1), self.conv2(feat2), idx,

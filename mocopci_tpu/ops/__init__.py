@@ -18,7 +18,12 @@ from mocopci_tpu.ops.distance import (
     square_distance,
 )
 from mocopci_tpu.ops.emd import approx_match, earth_mover_distance, emd, match_cost
-from mocopci_tpu.ops.interpolate import point_warp, three_interpolate, upsample
+from mocopci_tpu.ops.interpolate import (
+    point_warp,
+    three_interpolate,
+    upsample,
+    upsample_multi,
+)
 from mocopci_tpu.ops.sampling import (
     downsample_fps,
     farthest_point_sample,
@@ -45,6 +50,7 @@ __all__ = [
     "point_warp",
     "three_interpolate",
     "upsample",
+    "upsample_multi",
     "downsample_fps",
     "farthest_point_sample",
     "farthest_point_sample_xla",

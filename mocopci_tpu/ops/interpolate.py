@@ -59,6 +59,30 @@ def upsample(
     return jnp.sum(w[..., None] * feats, axis=2)
 
 
+def upsample_multi(
+    dense_xyz: jax.Array,
+    sparse_xyz: jax.Array,
+    sparse_feats,
+    k: int = 3,
+):
+    """Upsample SEVERAL fields living on the same sparse geometry at once.
+
+    The reference calls ``UpsampleFlow`` separately for each per-frame flow and
+    feature even though the (dense, sparse) geometry — and therefore the 3-NN
+    indices and inverse-distance weights — is identical (``mocopci.py:864-878,
+    930-944, 986-1007``).  One kNN + one fused gather serves them all.
+
+    Args:
+      sparse_feats: sequence of (B, S, C_i) arrays.
+    Returns:
+      list of (B, N, C_i) arrays.
+    """
+    idx = knn(k, sparse_xyz, dense_xyz)
+    gathered = group_multi(idx, sparse_xyz, *sparse_feats)
+    w = _inverse_distance_weights(dense_xyz, gathered[0])[..., None]
+    return [jnp.sum(w * g, axis=2) for g in gathered[1:]]
+
+
 def three_interpolate(
     dense_xyz: jax.Array, sparse_xyz: jax.Array, sparse_feat: jax.Array
 ) -> jax.Array:

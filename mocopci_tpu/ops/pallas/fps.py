@@ -3,9 +3,10 @@
 Semantics match the reference CUDA kernel (``pointnet2/src/sampling_gpu.cu:93-253``):
 seed index 0, running min-distance buffer initialised to 1e10, greedy argmax.
 The CUDA version runs one thread-block per batch element with a shared-memory
-tree reduction per step; here one grid program per batch element keeps the
-whole (3, N) coordinate tile and the (1, N) min-distance field in VMEM and the
-selection loop never touches HBM.
+tree reduction per step; here one grid program processes up to 8 batch
+elements at once — the (8, N) min-distance field lives on VPU sublanes, so the
+2048-step selection loop costs the same for 8 clouds as for one (the folded
+3-frame refine head relies on this).
 """
 from __future__ import annotations
 
@@ -17,40 +18,44 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_TB = 8  # batch rows per grid cell (= f32 sublane count)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
-    # xyz_ref: (1, 8, Npad) f32 in VMEM — rows 0..2 are x/y/z, rest padding.
-    # out_ref: (1, 1, npoint) int32 in SMEM.
+    # xyz_ref: (3, TB, Npad) f32 in VMEM — x/y/z planes for TB batch rows.
+    # out_ref: (TB, npoint_pad) int32 in VMEM.
     npad = xyz_ref.shape[-1]
-    xv = xyz_ref[0, 0:1, :]
-    yv = xyz_ref[0, 1:2, :]
-    zv = xyz_ref[0, 2:3, :]
-    lane = lax.broadcasted_iota(jnp.int32, (1, npad), dimension=1)
+    xv = xyz_ref[0]                       # (TB, Npad)
+    yv = xyz_ref[1]
+    zv = xyz_ref[2]
+    opad = out_ref.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (_TB, npad), dimension=1)
     valid = lane < n_real
-    mind0 = jnp.where(valid, jnp.full((1, npad), 1e10, jnp.float32), -1.0)
-
-    out_ref[0, 0, 0] = 0
+    mind0 = jnp.where(valid, jnp.full((_TB, npad), 1e10, jnp.float32), -1.0)
+    out_col = lax.broadcasted_iota(jnp.int32, (_TB, opad), dimension=1)
 
     def body(i, carry):
-        # carry: (mind, last-selected point's coords as (1,1) scalars)
-        mind, px, py, pz = carry
+        # out accumulates via a one-hot column select: Mosaic has no dynamic
+        # lane-indexed vector store, and this keeps the whole loop in registers
+        mind, out, px, py, pz = carry     # px/py/pz: (TB, 1) last-picked coords
         d = (xv - px) ** 2 + (yv - py) ** 2 + (zv - pz) ** 2
         mind = jnp.minimum(mind, jnp.where(valid, d, -1.0))
-        nxt = jnp.argmax(mind[0, :]).astype(jnp.int32)
-        out_ref[0, 0, i] = nxt
-        # masked reduction instead of dynamic gather (Mosaic-friendly)
-        sel = lane == nxt
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)   # (TB,)
+        out = jnp.where(out_col == i, nxt[:, None], out)
+        sel = lane == nxt[:, None]
         px = jnp.sum(jnp.where(sel, xv, 0.0), axis=1, keepdims=True)
         py = jnp.sum(jnp.where(sel, yv, 0.0), axis=1, keepdims=True)
         pz = jnp.sum(jnp.where(sel, zv, 0.0), axis=1, keepdims=True)
-        return mind, px, py, pz
+        return mind, out, px, py, pz
 
+    out0 = jnp.zeros((_TB, opad), jnp.int32)
     p0 = (xv[:, 0:1], yv[:, 0:1], zv[:, 0:1])
-    lax.fori_loop(1, npoint, body, (mind0, *p0))
+    _, out, _, _, _ = lax.fori_loop(1, npoint, body, (mind0, out0, *p0))
+    out_ref[:, :] = out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -60,21 +65,21 @@ def farthest_point_sample_pallas(
     """FPS: (B, N, 3) float -> (B, npoint) int32 indices."""
     B, N, _ = xyz.shape
     npad = _round_up(N, 128)
-    # (B, 8, Npad) layout: coords on sublanes, points on lanes.
-    xt = jnp.zeros((B, 8, npad), jnp.float32)
-    xt = xt.at[:, :3, :N].set(xyz.astype(jnp.float32).transpose(0, 2, 1))
+    bpad = _round_up(B, _TB)
+    opad = _round_up(npoint, 128)
+    # (3, Bpad, Npad): coordinate planes, batch on sublanes, points on lanes.
+    xt = jnp.zeros((3, bpad, npad), jnp.float32)
+    xt = xt.at[:, :B, :N].set(xyz.astype(jnp.float32).transpose(2, 0, 1))
 
     kernel = functools.partial(_fps_kernel, N, npoint)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(bpad // _TB,),
         in_specs=[
-            pl.BlockSpec((1, 8, npad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((3, _TB, npad), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
+        out_specs=pl.BlockSpec((_TB, opad), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bpad, opad), jnp.int32),
         interpret=interpret,
     )(xt)
-    return out[:, 0, :]
+    return out[:B, :npoint]

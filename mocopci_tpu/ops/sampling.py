@@ -79,13 +79,29 @@ def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     return farthest_point_sample_xla(xyz, npoint)
 
 
+def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with batch folded into the index.
+
+    XLA's batched ``take_along_axis`` lowers ~2.5× slower per row on TPU than a
+    single flat row gather, so the batch offset is folded into the indices and
+    one ``take`` over the flattened rows is emitted.  Gradient is the same
+    deterministic scatter-add.
+
+    Args: points (B, N, C); idx (B, ...) int.  Returns (B, ..., C).
+    """
+    B, N, C = points.shape
+    off = jnp.arange(B, dtype=jnp.int32).reshape((B,) + (1,) * (idx.ndim - 1)) * N
+    flat = jnp.take(points.reshape(B * N, C), (idx + off).reshape(-1), axis=0)
+    return flat.reshape(idx.shape + (C,))
+
+
 def gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows: (B, N, C) x (B, S) -> (B, S, C).
 
     Equivalent of ``index_points_gather`` (``models/pointconv_util.py:168-179``)
     without the channels-first round trip.
     """
-    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+    return _flat_row_gather(points, idx.astype(jnp.int32))
 
 
 def group(points: jax.Array, idx: jax.Array) -> jax.Array:
@@ -94,12 +110,7 @@ def group(points: jax.Array, idx: jax.Array) -> jax.Array:
     Equivalent of ``index_points_group`` (``models/pointconv_util.py:181-192``),
     the workhorse behind every kNN grouping in the reference.
     """
-    B, _, C = points.shape
-    S, K = idx.shape[1], idx.shape[2]
-    flat = jnp.take_along_axis(
-        points, idx.reshape(B, S * K, 1).astype(jnp.int32), axis=1
-    )
-    return flat.reshape(B, S, K, C)
+    return _flat_row_gather(points, idx.astype(jnp.int32))
 
 
 def group_multi(idx: jax.Array, *arrays: jax.Array):

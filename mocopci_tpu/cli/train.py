@@ -64,7 +64,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
-    from mocopci_tpu.parallel import make_mesh, replicated, shard_batch
+    from mocopci_tpu.parallel import make_mesh_for_batch, replicated, shard_batch
     from mocopci_tpu.training import (
         CheckpointManager,
         create_train_state,
@@ -100,7 +100,7 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"the number of network parameters: {n_params}")
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(train_cfg.batch_size)
     state = jax.device_put(state, replicated(mesh))
 
     ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))

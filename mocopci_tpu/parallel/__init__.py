@@ -1,6 +1,7 @@
 from mocopci_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    make_mesh_for_batch,
     replicated,
     shard_batch,
 )

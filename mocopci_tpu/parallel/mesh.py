@@ -24,6 +24,15 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     return Mesh(dev, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, n_model: int = 1) -> Mesh:
+    """Mesh whose data axis evenly divides the global batch."""
+    import math
+
+    avail = len(jax.devices()) // n_model
+    n_data = math.gcd(batch_size, avail)
+    return make_mesh(max(n_data, 1), n_model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -96,11 +96,61 @@ def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     return idx.astype(jnp.int32)
 
 
+# Above this many distance-matrix entries per batch element, the kNN switches
+# to blockwise evaluation (the moral equivalent of blockwise attention —
+# SURVEY.md §5.7): the query axis is chunked with lax.map, and very wide
+# reference sets are additionally processed in chunks whose per-chunk top-k
+# candidates are merged with an exact top-k.  Needed for the 16k-32k-point
+# stress configs where a dense (N, M) matrix would not fit in HBM.
+_DENSE_LIMIT = 1 << 26  # 64M entries = 256 MB fp32
+_REF_CHUNK = 16384
+
+
+def _select_blocked(dist_fn, k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
+    B, N, _ = query.shape
+    M = ref.shape[1]
+    k = min(k, M)
+    if N * M <= _DENSE_LIMIT:
+        return _topk_min_indices(dist_fn(query, ref), k)
+
+    def one_chunk(q):  # (B, qb, C) -> (B, qb, k)
+        if M <= _REF_CHUNK:
+            return _topk_min_indices(dist_fn(q, ref), k)
+        # chunk the reference axis too: per-chunk top-k candidates, then an
+        # exact merge over the (nchunks * k) survivors
+        n_r = -(-M // _REF_CHUNK)
+        vals, idxs = [], []
+        for j in range(n_r):
+            lo = j * _REF_CHUNK
+            hi = min(M, lo + _REF_CHUNK)
+            d = dist_fn(q, ref[:, lo:hi])
+            kk = min(k, hi - lo)
+            v, i = jax.lax.top_k(-d, kk)
+            vals.append(v)
+            idxs.append(i.astype(jnp.int32) + lo)
+        vals = jnp.concatenate(vals, axis=-1)
+        idxs = jnp.concatenate(idxs, axis=-1)
+        _, sel = jax.lax.top_k(vals, k)
+        return jnp.take_along_axis(idxs, sel, axis=-1)
+
+    qb = max(_DENSE_LIMIT // max(M, 1), 128)
+    if N <= qb:
+        return one_chunk(query)
+    n_q = -(-N // qb)
+    pad = n_q * qb - N
+    qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    chunks = qpad.reshape(B, n_q, qb, -1).transpose(1, 0, 2, 3)
+    out = jax.lax.map(one_chunk, chunks)          # (n_q, B, qb, k)
+    out = out.transpose(1, 0, 2, 3).reshape(B, n_q * qb, k)
+    return out[:, :N]
+
+
 def knn(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
     """Euclidean k-NN: for each query point the k nearest reference points.
 
     Mirrors ``knn_point(nsample, xyz=ref, new_xyz=query)``
-    (``models/pointconv_util.py:129-140``).
+    (``models/pointconv_util.py:129-140``).  Automatically switches to
+    blockwise evaluation at stress sizes.
 
     Args:
       k: number of neighbours (static).
@@ -109,7 +159,7 @@ def knn(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
     Returns:
       (B, N, k) int32 indices into ``ref``.
     """
-    return _topk_min_indices(square_distance(query, ref), k)
+    return _select_blocked(square_distance, k, ref, query)
 
 
 def knn_cosine(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
@@ -117,4 +167,4 @@ def knn_cosine(k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
 
     Mirrors ``knn_point_cosine`` (``models/pointconv_util.py:142-153``).
     """
-    return _topk_min_indices(cosine_distance(query, ref), k)
+    return _select_blocked(cosine_distance, k, ref, query)

@@ -1,0 +1,42 @@
+"""Blockwise kNN: forced-chunking paths must match the dense path exactly."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mocopci_tpu import ops
+from mocopci_tpu.ops import distance as D
+
+
+@pytest.fixture
+def force_blocking(monkeypatch):
+    # tiny thresholds so ordinary test sizes exercise the chunked code paths
+    monkeypatch.setattr(D, "_DENSE_LIMIT", 4096)
+    monkeypatch.setattr(D, "_REF_CHUNK", 64)
+
+
+def test_query_chunking_matches_dense(rng, force_blocking):
+    ref = jnp.asarray(rng.normal(size=(2, 50, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    got = np.asarray(ops.knn(5, ref, q))
+    want = np.asarray(D._topk_min_indices(D.square_distance(q, ref), 5))
+    for b in range(2):
+        for n in range(300):
+            assert set(got[b, n]) == set(want[b, n])
+
+
+def test_ref_chunking_matches_dense(rng, force_blocking):
+    ref = jnp.asarray(rng.normal(size=(1, 200, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(1, 150, 3)).astype(np.float32))
+    got = np.asarray(ops.knn(7, ref, q))
+    want = np.asarray(D._topk_min_indices(D.square_distance(q, ref), 7))
+    for n in range(150):
+        assert set(got[0, n]) == set(want[0, n])
+
+
+def test_cosine_blocked(rng, force_blocking):
+    ref = jnp.asarray(rng.normal(size=(1, 130, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(1, 140, 16)).astype(np.float32))
+    got = np.asarray(ops.knn_cosine(4, ref, q))
+    want = np.asarray(D._topk_min_indices(D.cosine_distance(q, ref), 4))
+    for n in range(140):
+        assert set(got[0, n]) == set(want[0, n])

@@ -42,6 +42,8 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-epoch metrics to this CSV")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of steps 3-8 of epoch 1")
     return p.parse_args(argv)
 
 
@@ -116,10 +118,15 @@ def main(argv=None):
         t0 = time.time()
         sums, count = {}, 0
         for batch in batches(dataset, train_cfg.batch_size, shuffle=True, seed=epoch):
+            if args.profile_dir and epoch == start_epoch and count == 3:
+                jax.profiler.start_trace(args.profile_dir)
             rng, sub = jax.random.split(rng)
             state, aux = train_step(
                 state, shard_batch(mesh, batch), sub, model_cfg, train_cfg
             )
+            if args.profile_dir and epoch == start_epoch and count == 8:
+                jax.tree_util.tree_map(np.asarray, aux)
+                jax.profiler.stop_trace()
             count += 1
             if count % args.log_every == 0:
                 aux = {k: float(v) for k, v in aux.items()}

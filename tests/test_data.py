@@ -73,3 +73,22 @@ def test_batches_iterator():
     assert b["pc1"].shape == (2, 32, 3)
     assert b["pc2"].shape == (2, 32, 3)
     assert b["gt"].shape == (2, 3, 32, 3)
+
+
+def test_dhb_dataset(tmp_path):
+    from mocopci_tpu.data import DHBDataset
+
+    # synthetic sequence: 20 frames of 64 points (npy path, torch-free)
+    seq = np.random.default_rng(0).normal(size=(20, 64, 3)).astype(np.float32)
+    np.save(tmp_path / "swing_fps1024_aligned.npy", seq)
+    with open(tmp_path / "scenes.txt", "w") as f:
+        f.write("swing\n")
+    ds = DHBDataset(str(tmp_path), str(tmp_path / "scenes.txt"), interval=4)
+    # windows: start + 12 < 20 -> starts 0, 4 -> 2 samples
+    assert len(ds) == 2
+    inputs, gts = ds[0]
+    assert len(inputs) == 4 and len(gts) == 3
+    np.testing.assert_array_equal(inputs[0], seq[0])
+    np.testing.assert_array_equal(inputs[1], seq[4])
+    np.testing.assert_array_equal(gts[0], seq[5])
+    np.testing.assert_array_equal(gts[2], seq[7])

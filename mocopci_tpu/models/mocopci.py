@@ -73,6 +73,17 @@ def area_resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
     return jnp.asarray(A)
 
 
+def _rev_frames(x: jax.Array) -> jax.Array:
+    """Reverse the frame axis (axis 1) via an explicit gather.
+
+    Semantically jnp.flip(x, axis=1); expressed as a gather because the
+    XLA:TPU fusion emitter miscompiles (checks-fails on pad_low == -2) when the
+    gradient of rev fuses with the loss-side slice gradients at batch >= 2.
+    """
+    idx = jnp.arange(x.shape[1] - 1, -1, -1)
+    return jnp.take(x, idx, axis=1)
+
+
 def _upsample_feats_and_frames(dense_xyz, sparse_xyz, feats, frames):
     """One shared-geometry upsample for feature fields + per-frame flows.
 
@@ -382,7 +393,7 @@ class MultiFrameEstimator(nn.Module):
         feat1_l3_2 = self.deconv3_2(feat1_l3_2)
         feat2_l3_2 = self.deconv3_2(feat2_l3_2)
         frames3_out_f = pc1s[3][:, None] + frame3_f
-        frames3_out_b = pc2s[3][:, None] + jnp.flip(frame3_b, axis=1)
+        frames3_out_b = pc2s[3][:, None] + _rev_frames(frame3_b)
 
         # L2 (mocopci.py:882-916)
         frame2_f, f1n_l2_f, f2n_l2_f, _ = self.multi_frame_up_2(
@@ -407,7 +418,7 @@ class MultiFrameEstimator(nn.Module):
         feat1_l2_1_b = self.deconv2_1(feat1_l2_1_b)
         feat2_l2_1_b = self.deconv2_1(feat2_l2_1_b)
         frames2_out_f = pc1s[2][:, None] + frame2_f
-        frames2_out_b = pc2s[2][:, None] + jnp.flip(frame2_b, axis=1)
+        frames2_out_b = pc2s[2][:, None] + _rev_frames(frame2_b)
 
         # L1 (mocopci.py:947-981)
         frame1_f, f1n_l1_f, f2n_l1_f, _ = self.multi_frame_up_1(
@@ -423,10 +434,10 @@ class MultiFrameEstimator(nn.Module):
         # (mocopci.py:1002-1006)
         _, up_frame0_f = _upsample_feat_and_frames(pc1s[0], pc1s[1], None, frame1_f)
         _, up_frame0_b = _upsample_feat_and_frames(
-            pc2s[0], pc2s[1], None, jnp.flip(frame1_b, axis=1)
+            pc2s[0], pc2s[1], None, _rev_frames(frame1_b)
         )
         frames1_out_f = pc1s[1][:, None] + frame1_f
-        frames1_out_b = pc2s[1][:, None] + jnp.flip(frame1_b, axis=1)
+        frames1_out_b = pc2s[1][:, None] + _rev_frames(frame1_b)
 
         # L0: warp, refine, fuse (mocopci.py:1009-1053).
         # The reference runs the refine head + fusion once per frame in Python;
@@ -435,8 +446,8 @@ class MultiFrameEstimator(nn.Module):
         B = pc1s[0].shape[0]
         warped_f = pc1s[0][:, None] + up_frame0_f            # (B,F,N,3)
         warped_b = pc2s[0][:, None] + up_frame0_b
-        warped_f_r = pc1s[0][:, None] + jnp.flip(up_frame0_b, 1)
-        warped_b_r = pc2s[0][:, None] + jnp.flip(up_frame0_f, 1)
+        warped_f_r = pc1s[0][:, None] + _rev_frames(up_frame0_b)
+        warped_b_r = pc2s[0][:, None] + _rev_frames(up_frame0_f)
 
         # frames 0,1 refine the forward warp from frame-1 features; frame 2
         # refines the backward warp from frame-2 features (mocopci.py:1017-1038)

@@ -8,7 +8,6 @@ and asserts the result matches this package's parameter pytree exactly
 """
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -22,59 +21,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _stub(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
-
-
 @pytest.fixture(scope="module")
 def reference_state_dict():
-    torch = pytest.importorskip("torch")
-    import torch.nn as nn
+    pytest.importorskip("torch")
+    from tests.ref_torch import install_reference_stubs
 
-    # ---- stub native/unavailable deps (constructor-time only) ----
-    class DropPath(nn.Module):
-        def __init__(self, p=0.0):
-            super().__init__()
+    install_reference_stubs()
+    from models.m_models.mocopci import MoCoPCI as TorchMoCoPCI
 
-        def forward(self, x):
-            return x
-
-    def to_2tuple(x):
-        return x if isinstance(x, tuple) else (x, x)
-
-    def trunc_normal_(t, std=1.0):
-        with torch.no_grad():
-            t.normal_(0, std)
-        return t
-
-    timm = _stub("timm")
-    timm_models = _stub("timm.models")
-    _stub(
-        "timm.models.layers",
-        DropPath=DropPath,
-        to_2tuple=to_2tuple,
-        trunc_normal_=trunc_normal_,
-    )
-    timm.models = timm_models
-    _stub("pointnet2_cuda")
-    p3d = _stub("pytorch3d")
-    p3d.ops = _stub("pytorch3d.ops", knn_points=lambda *a, **k: None)
-    _stub("sklearn")
-    _stub("sklearn.neighbors", KernelDensity=object)
-
-    sys.path.insert(0, REF)
-    try:
-        from models.m_models.mocopci import MoCoPCI as TorchMoCoPCI
-
-        net = TorchMoCoPCI()
-        sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
-    finally:
-        sys.path.remove(REF)
-    return sd
+    net = TorchMoCoPCI()
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
 
 
 def test_converted_tree_matches_model(reference_state_dict):

@@ -1,0 +1,325 @@
+"""Numerical parity tests: every major block vs the EXECUTED torch reference.
+
+The reference modules are instantiated from ``/root/reference`` and run on CPU
+(via the faithful stub ops in ``ref_torch.py``); weights are converted with the
+production converter; outputs must agree to fp32 tolerance.  All comparisons
+are in eval mode (BN running stats, dropout off) — training-mode stochasticity
+is framework-specific by nature.
+
+kNN neighbour *order* differs between frameworks (the reference's
+``torch.topk(sorted=False)`` vs our sorted selection); every compared module is
+permutation-invariant over the neighbour axis, so outputs still match.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+torch = pytest.importorskip("torch")
+
+from tests.ref_torch import install_reference_stubs, module_state_dict  # noqa: E402
+
+install_reference_stubs()
+
+from mocopci_tpu.training import convert as C  # noqa: E402
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def _np(x):
+    return x.detach().cpu().numpy()
+
+
+def _t(a):  # numpy (B, N, C) -> torch (B, C, N)
+    return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 2, 1)))
+
+
+def _cmp(ours_bnc, theirs_bcn, rtol=RTOL, atol=ATOL):
+    np.testing.assert_allclose(
+        np.asarray(ours_bnc), _np(theirs_bcn).transpose(0, 2, 1), rtol=rtol, atol=atol
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_pointconv_parity(rng):
+    from models.m_models.mocopci import PointConv as TorchPointConv
+    from mocopci_tpu.nn import PointConv
+
+    tm = TorchPointConv(nsample=8, in_channel=16 + 3, out_channel=24, weightnet=8).eval()
+    sd = module_state_dict(tm)
+    params = C._pointconv(sd, "m")
+
+    xyz = rng.normal(size=(2, 40, 3)).astype(np.float32)
+    feat = rng.normal(size=(2, 40, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(xyz), _t(feat))                     # (B, 24, N)
+    got = PointConv(8, 24, 8).apply({"params": params}, jnp.asarray(xyz), jnp.asarray(feat))
+    _cmp(got, want)
+
+
+def test_pointconvd_parity(rng):
+    from models.m_models.mocopci import PointConvD as TorchPointConvD
+    from mocopci_tpu.nn import PointConvD
+
+    tm = TorchPointConvD(npoint=16, nsample=8, in_channel=16 + 3, out_channel=24,
+                         weightnet=8).eval()
+    sd = module_state_dict(tm)
+    params = C._pointconv(sd, "m")
+
+    xyz = rng.normal(size=(2, 40, 3)).astype(np.float32)
+    feat = rng.normal(size=(2, 40, 16)).astype(np.float32)
+    with torch.no_grad():
+        want_xyz, want_feat = tm(_t(xyz), _t(feat))
+    got_xyz, got_feat = PointConvD(16, 8, 24, 8).apply(
+        {"params": params}, jnp.asarray(xyz), jnp.asarray(feat)
+    )
+    _cmp(got_xyz, want_xyz)
+    _cmp(got_feat, want_feat)
+
+
+def test_ei_crossformer_parity(rng):
+    from models.m_models.mocopci import EI_Crossformer as TorchEI
+    from mocopci_tpu.nn import EICrossformer
+
+    tm = TorchEI(dim=32).eval()
+    # gamma initialises to 0, which would hide the injector half — randomise
+    with torch.no_grad():
+        tm.injector.gamma.normal_()
+    sd = module_state_dict(tm)
+    params = C._ei(sd, "m")
+
+    x1 = rng.normal(size=(2, 24, 32)).astype(np.float32)
+    x2 = rng.normal(size=(2, 24, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x1), torch.from_numpy(x2))   # (B, N, C)
+    got = EICrossformer(32).apply(
+        {"params": params}, jnp.asarray(x1), jnp.asarray(x2), True
+    )
+    np.testing.assert_allclose(np.asarray(got), _np(want), rtol=RTOL, atol=ATOL)
+
+
+def test_cross_frame_block_parity(rng):
+    from models.m_models.mocopci import Cross_Frame_Att as TorchCFA
+    from mocopci_tpu.nn import CrossFrameBlock
+
+    tm = TorchCFA(dim=32, num_heads=4, mlp_ratio=4.0, qkv_bias=True,
+                  drop=0.05, attn_drop=0.05, drop_path=0.0,
+                  norm_layer=torch.nn.BatchNorm1d).eval()
+    sd = module_state_dict(tm)
+    params = C._cross_frame_block(sd, "m")
+    bstats = {"norm1": C._norm_stats(sd, "m.norm1")}
+
+    B, N, Ch = 2, 20, 32
+    xs = rng.normal(size=(B, 2, N, Ch)).astype(np.float32)
+    pc = torch.zeros(B, 3, N)
+    xs_t = torch.from_numpy(xs.transpose(0, 1, 3, 2))           # (B, 2, C, N)
+    with torch.no_grad():
+        want_feats, want_frames, _ = tm(xs_t, pc, pc)           # (B,3,N,C),(B,3,N,3)
+    got_feats, got_frames = CrossFrameBlock(dim=Ch).apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(xs),
+        train=False, deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_feats), _np(want_feats), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got_frames), _np(want_frames), rtol=RTOL, atol=ATOL)
+
+
+def test_multi_frame_block_parity(rng):
+    from models.m_models.mocopci import Multi_Frame_Att as TorchMFA
+    from mocopci_tpu.nn import MultiFrameBlock
+
+    dim, latent = 16, 48
+    tm = TorchMFA(dim=dim, flow_feats=[latent, latent], mlp_ratio=4.0,
+                  qkv_bias=True, drop=0.05, attn_drop=0.05, drop_path=0.04,
+                  norm_layer=torch.nn.BatchNorm1d).eval()
+    sd = module_state_dict(tm)
+    params = C._multi_frame_block(sd, "m")
+    bstats = {"norm1": C._norm_stats(sd, "m.norm1"),
+              "norm2": C._norm_stats(sd, "m.norm2")}
+
+    B, N = 2, 12
+    xs = rng.normal(size=(B, 5, N, dim)).astype(np.float32)
+    pc = torch.zeros(B, 3, N)
+    xs_t = torch.from_numpy(xs.transpose(0, 1, 3, 2))           # (B, 5, C, N)
+    with torch.no_grad():
+        want_feats, want_frames, _ = tm(xs_t, pc, pc)  # (B,3,latent,N),(B,3,3,N)
+    got_feats, got_frames = MultiFrameBlock(dim=dim, latent=latent).apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(xs),
+        train=False, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_feats), _np(want_feats).transpose(0, 1, 3, 2), rtol=RTOL, atol=ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_frames), _np(want_frames).transpose(0, 1, 3, 2), rtol=RTOL, atol=ATOL
+    )
+
+
+def test_cross_layer_parity(rng):
+    from models.pointconv_util import CrossLayerLightFeatCosine as TorchCross
+    from mocopci_tpu.nn import CrossLayerFeatCosine
+
+    tm = TorchCross(nsample=8, in_channel=20, mlp1=[24, 24], mlp2=[24, 24]).eval()
+    sd = module_state_dict(tm)
+    params = {
+        "pos1": C._dense(sd, "m.pos1"),
+        "cross_t11": C._dense(sd, "m.cross_t11"),
+        "cross_t22": C._dense(sd, "m.cross_t22"),
+        "cross_t1": C._dense(sd, "m.cross_t1"),
+        "cross_t2": C._dense(sd, "m.cross_t2"),
+        "mlp1_0": {"conv": C._dense(sd, "m.mlp1.0.composed_module.0")},
+    }
+    B, N = 2, 30
+    pc1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pc2 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    f1 = rng.normal(size=(B, N, 20)).astype(np.float32)
+    f2 = rng.normal(size=(B, N, 20)).astype(np.float32)
+    k1 = rng.normal(size=(B, N, 10)).astype(np.float32)
+    k2 = rng.normal(size=(B, N, 10)).astype(np.float32)
+    with torch.no_grad():
+        want1, want2, _ = tm(_t(pc1), _t(pc2), _t(f1), _t(f2), _t(k1), _t(k2))
+    got1, got2 = CrossLayerFeatCosine(8, (24, 24), (24, 24)).apply(
+        {"params": params},
+        *(jnp.asarray(a) for a in (pc1, pc2, f1, f2, k1, k2)),
+    )
+    _cmp(got1, want1)
+    _cmp(got2, want2)
+
+
+def test_bidirectional_layer_parity(rng):
+    from models.pointconv_util import BidirectionalLayerFeatCosine as TorchBid
+    from mocopci_tpu.nn import BidirectionalLayerFeatCosine
+
+    tm = TorchBid(nsample=8, in_channel=20, mlp=[24, 24]).eval()
+    sd = module_state_dict(tm)
+    params = C._bid_like(sd, "m", 1)
+    B, N = 2, 30
+    pc1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pc2 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    f1 = rng.normal(size=(B, N, 20)).astype(np.float32)
+    f2 = rng.normal(size=(B, N, 20)).astype(np.float32)
+    k1 = rng.normal(size=(B, N, 10)).astype(np.float32)
+    k2 = rng.normal(size=(B, N, 10)).astype(np.float32)
+    with torch.no_grad():
+        want1, want2 = tm(_t(pc1), _t(pc2), _t(f1), _t(f2), _t(k1), _t(k2))
+    got1, got2 = BidirectionalLayerFeatCosine(8, (24, 24)).apply(
+        {"params": params},
+        *(jnp.asarray(a) for a in (pc1, pc2, f1, f2, k1, k2)),
+    )
+    _cmp(got1, want1)
+    _cmp(got2, want2)
+
+
+def test_flow_embedding_parity(rng):
+    from models.pointconv_util import FlowEmbeddingLayer as TorchFE
+    from mocopci_tpu.nn import FlowEmbeddingLayer
+
+    tm = TorchFE(nsample=8, in_channel=20, mlp=[24, 24]).eval()
+    sd = module_state_dict(tm)
+    params = C._fe(sd, "m", 1)
+    B, N = 2, 30
+    args = [rng.normal(size=(B, N, c)).astype(np.float32) for c in (3, 3, 20, 20, 10, 10)]
+    with torch.no_grad():
+        want = tm(*(_t(a) for a in args))
+    got = FlowEmbeddingLayer(8, (24, 24)).apply(
+        {"params": params}, *(jnp.asarray(a) for a in args)
+    )
+    _cmp(got, want)
+
+
+def test_point_transformer_parity(rng):
+    from models.pointT_layer2 import TransformerBlock as TorchPT
+    from mocopci_tpu.nn import PointTransformerBlock
+
+    tm = TorchPT(d_points=24, d_model=24, k=6).eval()
+    sd = module_state_dict(tm)
+    params = C._point_transformer(sd, "m")
+    B, N = 2, 30
+    feat = rng.normal(size=(B, N, 24)).astype(np.float32)
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(feat), torch.from_numpy(xyz))   # (B, d, N)
+    got = PointTransformerBlock(24, 6).apply(
+        {"params": params}, jnp.asarray(feat), jnp.asarray(xyz)
+    )
+    _cmp(got, want)
+
+
+def test_upsample_and_warp_parity(rng):
+    from models.pointconv_util import PointWarping as TorchWarp, UpsampleFlow as TorchUp
+    from mocopci_tpu import ops
+
+    B, N, S = 2, 40, 12
+    dense = rng.normal(size=(B, N, 3)).astype(np.float32)
+    sparse = rng.normal(size=(B, S, 3)).astype(np.float32)
+    flow = rng.normal(size=(B, S, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = TorchUp()(_t(dense), _t(sparse), _t(flow))
+    got = ops.upsample(jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(flow))
+    _cmp(got, want)
+
+    pc1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pc2 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    fl = 0.1 * rng.normal(size=(B, N, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = TorchWarp()(_t(pc1), _t(pc2), _t(fl))
+    got = ops.point_warp(jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(fl))
+    _cmp(got, want)
+
+
+def test_multiframe_attention_wrapper_parity(rng):
+    from models.m_models.mocopci import Multiframe_Attention as TorchMFWrap
+    from mocopci_tpu.models.mocopci import MultiframeAttention
+
+    feat_ch, latent = 16, 48
+    tm = TorchMFWrap(iters=3, feat_ch=feat_ch, feat_new_ch=feat_ch,
+                     latent_ch=latent, cross_mlp1=[16, 16], cross_mlp2=[16, 16]).eval()
+    sd = module_state_dict(tm)
+    params = C._multiframe_attention(sd, "m")
+    bstats = {"cross_block": {"norm1": C._norm_stats(sd, "m.cross_block.norm1"),
+                              "norm2": C._norm_stats(sd, "m.cross_block.norm2")}}
+
+    # the reference wrapper hard-codes flow_nei=32 (mocopci.py:158)
+    B, N = 1, 40
+    t_f = (0.0, 0.41666666666666663, 0.5, 0.5833333333333333, 1.0)
+    pc1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pc2 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    f1n = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    f2n = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    f10 = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    f11 = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    f20 = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    f21 = rng.normal(size=(B, N, feat_ch)).astype(np.float32)
+    ups = rng.normal(size=(B, 3, N, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        w_frames, w_f1n, w_f2n, w_feats, _, _ = tm(
+            _t(pc1), _t(pc2), _t(f1n), _t(f2n), _t(f10), _t(f11), _t(f20), _t(f21),
+            [_t(ups[:, i]) for i in range(3)], None, list(t_f),
+        )
+    got_frames, got_f1n, got_f2n, got_feats = MultiframeAttention(
+        feat_ch=feat_ch, latent_ch=latent, mlp1=(16, 16), mlp2=(16, 16), flow_nei=32
+    ).apply(
+        {"params": params, "batch_stats": bstats},
+        *(jnp.asarray(a) for a in (pc1, pc2, f1n, f2n, f10, f11, f20, f21, ups)),
+        t_f, False, True,
+    )
+    # ref frames: (B, 3, 3xyz, N); feats: (B, 3, C, N)
+    np.testing.assert_allclose(
+        np.asarray(got_frames), _np(w_frames).transpose(0, 1, 3, 2), rtol=RTOL, atol=ATOL
+    )
+    _cmp(got_f1n, w_f1n)
+    _cmp(got_f2n, w_f2n)
+    np.testing.assert_allclose(
+        np.asarray(got_feats), _np(w_feats).transpose(0, 1, 3, 2), rtol=RTOL, atol=ATOL
+    )

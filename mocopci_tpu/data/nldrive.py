@@ -33,12 +33,20 @@ class NLDriveDataset:
         interval: int = 4,
         num_frames: int = 4,
         seed: Optional[int] = None,
+        use_native: bool = True,
     ):
         self.data_root = data_root
         self.num_points = num_points
         self.interval = interval
         self.num_frames = num_frames
         self.rng = np.random.default_rng(seed)
+        self._native_seed = (seed or 0) * 1000003 + 1
+        if use_native:
+            from mocopci_tpu import native
+
+            self._native = native if native.available() else None
+        else:
+            self._native = None
         with open(scene_list) as f:
             self.rows: List[List[str]] = [
                 line.strip("\n").split(" ") for line in f if line.strip()
@@ -48,9 +56,11 @@ class NLDriveDataset:
         return len(self.rows)
 
     def _load_and_sample(self, rel_path: str) -> np.ndarray:
-        raw = np.fromfile(
-            os.path.join(self.data_root, rel_path), dtype=np.float32
-        ).reshape(-1, 3)
+        path = os.path.join(self.data_root, rel_path)
+        if self._native is not None:
+            self._native_seed += 1
+            return self._native.load_and_sample(path, self.num_points, self._native_seed)
+        raw = np.fromfile(path, dtype=np.float32).reshape(-1, 3)
         num = raw.shape[0]
         if num >= self.num_points:
             idx = self.rng.choice(num, self.num_points, replace=False)

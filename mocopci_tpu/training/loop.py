@@ -56,7 +56,11 @@ def create_train_state(
     model = MoCoPCI(model_cfg)
     rng = jax.random.PRNGKey(train_cfg.seed) if rng is None else rng
     dummy = jnp.zeros((1, model_cfg.npoints, 3), jnp.float32)
-    variables = model.init({"params": rng, "dropout": rng}, dummy, dummy, train=True)
+    # jit the init: eager initialisation executes the whole forward op-by-op
+    # (minutes at full size); compiled it is seconds
+    variables = jax.jit(
+        lambda d: model.init({"params": rng, "dropout": rng}, d, d, train=True)
+    )(dummy)
     tx = make_optimizer(train_cfg, steps_per_epoch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())

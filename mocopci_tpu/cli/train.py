@@ -44,6 +44,8 @@ def parse_args(argv=None):
                    help="append per-epoch metrics to this CSV")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of steps 3-8 of epoch 1")
+    p.add_argument("--tensorboard", type=str, default="",
+                   help="write TensorBoard event files to this directory")
     return p.parse_args(argv)
 
 
@@ -112,6 +114,12 @@ def main(argv=None):
         start_epoch = int(ckpt.latest_epoch()) + 1
         print(f"resumed from epoch {start_epoch - 1}")
 
+    tb = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard)
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     best_loss_f = float("inf")
     for epoch in range(start_epoch, train_cfg.epochs):
@@ -139,6 +147,10 @@ def main(argv=None):
         means = {k: v / max(count, 1) for k, v in sums.items()}
         dt = time.time() - t0
         print(f"Epoch {epoch + 1} finished", json.dumps({**means, "epoch_time_s": dt}))
+        if tb is not None:
+            for k, v in means.items():
+                tb.add_scalar(f"train/{k}", v, epoch)
+            tb.add_scalar("train/epoch_time_s", dt, epoch)
         if args.metrics_csv:
             header = not os.path.exists(args.metrics_csv)
             with open(args.metrics_csv, "a") as f:
@@ -150,6 +162,8 @@ def main(argv=None):
             best_loss_f = means["loss_f"]
             ckpt.save(epoch, state, metrics=means)
             print(f"Best train loss: {best_loss_f:.4f} (checkpoint saved)")
+    if tb is not None:
+        tb.close()
     ckpt.close()
 
 

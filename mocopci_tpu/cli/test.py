@@ -55,7 +55,9 @@ def main(argv=None):
             length=args.synthetic, num_points=args.npoints, seed=1
         )
     else:
-        assert args.data_root and args.scene_list
+        assert args.data_root and args.scene_list, (
+            "provide --data_root and --scene_list, or --synthetic N"
+        )
         dataset = NLDriveDataset(
             args.data_root, args.scene_list, args.npoints, args.interval, args.num_frames
         )

@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--no_emd", action="store_true", help="CD-only eval")
+    p.add_argument("--knn_mode", type=str, default="approx",
+                   choices=["approx", "exact"],
+                   help="neighbour selection backend (see ops.set_knn_mode)")
+    p.add_argument("--knn_recall", type=float, default=0.95)
     return p.parse_args(argv)
 
 
@@ -42,9 +46,12 @@ def main(argv=None):
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from mocopci_tpu import ops
     from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
     from mocopci_tpu.training import CheckpointManager, create_train_state, eval_step
+
+    ops.set_knn_mode(args.knn_mode, args.knn_recall)
 
     model_cfg = tiny_model_config(args.npoints) if args.tiny else ModelConfig(
         npoints=args.npoints

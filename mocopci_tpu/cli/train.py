@@ -9,7 +9,6 @@ over all visible devices via a (data, model) mesh instead of
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -46,6 +45,9 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of steps 3-8 of epoch 1")
     p.add_argument("--tensorboard", type=str, default="",
                    help="write TensorBoard event files to this directory")
+    p.add_argument("--knn_mode", type=str, default="approx",
+                   choices=["approx", "exact"])
+    p.add_argument("--knn_recall", type=float, default=0.95)
     return p.parse_args(argv)
 
 
@@ -66,9 +68,12 @@ def main(argv=None):
     # honour JAX_PLATFORMS even when a sitecustomize pre-registered a backend
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from mocopci_tpu import ops
     from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
     from mocopci_tpu.parallel import make_mesh_for_batch, replicated, shard_batch
+
+    ops.set_knn_mode(args.knn_mode, args.knn_recall)
     from mocopci_tpu.training import (
         CheckpointManager,
         create_train_state,

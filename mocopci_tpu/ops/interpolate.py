@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mocopci_tpu.ops.distance import knn
-from mocopci_tpu.ops.sampling import group, group_multi
+from mocopci_tpu.ops.sampling import group_multi
 
 
 def _inverse_distance_weights(query_xyz: jax.Array, neigh: jax.Array) -> jax.Array:

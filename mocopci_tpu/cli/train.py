@@ -125,6 +125,22 @@ def main(argv=None):
 
         tb = SummaryWriter(args.tensorboard)
 
+    # preemption safety: SIGTERM/SIGINT trigger a checkpoint save at the next
+    # epoch boundary (failure recovery; the reference has none — SURVEY.md §5.3)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"signal {signum} received — will checkpoint and stop after this epoch")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _request_stop)
+        except ValueError:  # non-main thread
+            pass
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     best_loss_f = float("inf")
     for epoch in range(start_epoch, train_cfg.epochs):
@@ -167,6 +183,11 @@ def main(argv=None):
             best_loss_f = means["loss_f"]
             ckpt.save(epoch, state, metrics=means)
             print(f"Best train loss: {best_loss_f:.4f} (checkpoint saved)")
+        if stop_requested["flag"]:
+            if ckpt.latest_epoch() != epoch:
+                ckpt.save(epoch, state, metrics=means)
+            print(f"stopped by signal after epoch {epoch + 1} (checkpoint saved)")
+            break
     if tb is not None:
         tb.close()
     ckpt.close()

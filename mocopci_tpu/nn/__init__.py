@@ -25,3 +25,8 @@ from mocopci_tpu.nn.cross import (
 )
 from mocopci_tpu.nn.pointconv import PointConv, PointConvD
 from mocopci_tpu.nn.transformer import PointTransformerBlock
+from mocopci_tpu.nn.pointnet2_modules import (
+    FeaturePropagation,
+    SetAbstraction,
+    query_and_group,
+)

@@ -31,6 +31,44 @@ from mocopci_tpu.nn.basic import (
 )
 
 
+# Above this many attention entries per (batch, frame, head), the time-token
+# attention switches to blockwise evaluation over query chunks (the dense
+# matrix at the 32k stress config is 5·8·8192² fp32 ≈ 13 GB — more than HBM).
+_DENSE_ATTN_LIMIT = 8 * 1024 * 1024
+
+
+def _chunked_mha(q, k, v, scale):
+    """Memory-bounded exact attention via lax.map over query chunks.
+
+    q: (B, F, N, H, D); k, v: (B, F, M, H, D) -> (B, F, N, H, D).
+    Used on the deterministic (eval) path at stress sizes; the dense path is
+    kept for training (attention dropout needs the full matrix) and for
+    reference-scale shapes where it is faster.
+    """
+    B, F, N, H, D = q.shape
+    M = k.shape[2]
+    chunk = max(_DENSE_ATTN_LIMIT // M, 128)
+    if N <= chunk:
+        attn = jax.nn.softmax(
+            jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * scale, axis=-1
+        )
+        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v)
+    nb = -(-N // chunk)
+    pad = nb * chunk - N
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    qc = qp.reshape(B, F, nb, chunk, H, D).transpose(2, 0, 1, 3, 4, 5)
+
+    def one(qb):  # (B, F, chunk, H, D)
+        attn = jax.nn.softmax(
+            jnp.einsum("bfnhd,bfmhd->bfhnm", qb, k) * scale, axis=-1
+        )
+        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v)
+
+    out = jax.lax.map(one, qc)                       # (nb, B, F, chunk, H, D)
+    out = out.transpose(1, 2, 0, 3, 4, 5).reshape(B, F, nb * chunk, H, D)
+    return out[:, :, :N]
+
+
 class CrossAttention(nn.Module):
     """Standard multi-head cross attention (ref ``mocopci.py:58-86``)."""
 
@@ -186,10 +224,13 @@ class MultiFrameBlock(nn.Module):
         k, v = jnp.split(kv.reshape(B, F, N, 2, H, hd), 2, axis=3)
         k = k.squeeze(3)
         v = v.squeeze(3)
-        attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v).reshape(B, F, N, C)
+        if deterministic and N * N > _DENSE_ATTN_LIMIT:
+            out = _chunked_mha(q, k, v, hd ** -0.5).reshape(B, F, N, C)
+        else:
+            attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * (hd ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v).reshape(B, F, N, C)
         out = nn.Dense(C, kernel_init=_TRUNC02, name="attn_proj")(out)
         out = nn.Dropout(self.drop, deterministic=deterministic)(out)
 

@@ -116,8 +116,9 @@ def _select_blocked(dist_fn, k: int, ref: jax.Array, query: jax.Array) -> jax.Ar
     def one_chunk(q):  # (B, qb, C) -> (B, qb, k)
         if M <= _REF_CHUNK:
             return _topk_min_indices(dist_fn(q, ref), k)
-        # chunk the reference axis too: per-chunk top-k candidates, then an
-        # exact merge over the (nchunks * k) survivors
+        # chunk the reference axis too: per-chunk top-k candidates (using the
+        # configured selection backend — a full sort per chunk would dominate
+        # the stress configs), then an exact merge over the nchunks*k survivors
         n_r = -(-M // _REF_CHUNK)
         vals, idxs = [], []
         for j in range(n_r):
@@ -125,7 +126,11 @@ def _select_blocked(dist_fn, k: int, ref: jax.Array, query: jax.Array) -> jax.Ar
             hi = min(M, lo + _REF_CHUNK)
             d = dist_fn(q, ref[:, lo:hi])
             kk = min(k, hi - lo)
-            v, i = jax.lax.top_k(-d, kk)
+            if _KNN_MODE == "approx":
+                v, i = jax.lax.approx_min_k(d, kk, recall_target=_KNN_RECALL)
+                v = -v
+            else:
+                v, i = jax.lax.top_k(-d, kk)
             vals.append(v)
             idxs.append(i.astype(jnp.int32) + lo)
         vals = jnp.concatenate(vals, axis=-1)

@@ -5,3 +5,4 @@ from mocopci_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from mocopci_tpu.parallel.sp import chamfer_distance_sp

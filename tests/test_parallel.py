@@ -65,3 +65,17 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(
         float(aux_single["loss"]), float(aux_mesh["loss"]), rtol=1e-4
     )
+
+
+def test_sp_chamfer_matches_dense():
+    """Point-axis-sharded Chamfer over the mesh 'model' axis == dense value."""
+    from mocopci_tpu import ops
+    from mocopci_tpu.parallel.sp import chamfer_distance_sp
+
+    rngn = np.random.default_rng(3)
+    a = jnp.asarray(rngn.normal(size=(2, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rngn.normal(size=(2, 64, 3)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    want = float(ops.chamfer_distance(a, b))
+    got = float(chamfer_distance_sp(mesh, a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -82,14 +82,37 @@ def set_knn_mode(mode: str, recall: float = 0.95) -> None:
     _KNN_RECALL = recall
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend
+        return False
+
+
 def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     """Indices of the k smallest entries along the last axis. (B, N, k) int32.
 
     k is clamped to the number of reference points (only reachable in tiny
     test configs; the production pyramid always has >= k points per level).
+
+    On TPU in approx mode the selection runs in two stages: the PartialReduce
+    unit produces ~1024 candidates per row (aggregate_to_topk=False — its
+    built-in aggregation SORTS the candidate row, the single largest cost of
+    the kNN pipeline), then the Pallas ``select_min_k`` kernel extracts the k
+    smallest by iterative VMEM-resident min-extraction.
     """
     k = min(k, dists.shape[-1])
     if _KNN_MODE == "approx":
+        if _on_tpu():
+            vals, idx = jax.lax.approx_min_k(
+                dists, k, recall_target=_KNN_RECALL, aggregate_to_topk=False
+            )
+            if vals.shape[-1] > 2 * k:
+                from mocopci_tpu.ops.pallas.select_k import select_min_k_pallas
+
+                return select_min_k_pallas(vals, idx, k)
+            _, sel = jax.lax.top_k(-vals, k)
+            return jnp.take_along_axis(idx, sel, axis=-1).astype(jnp.int32)
         _, idx = jax.lax.approx_min_k(dists, k, recall_target=_KNN_RECALL)
     else:
         _, idx = jax.lax.top_k(-dists, k)

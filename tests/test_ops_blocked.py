@@ -40,3 +40,16 @@ def test_cosine_blocked(rng, force_blocking):
     want = np.asarray(D._topk_min_indices(D.cosine_distance(q, ref), 4))
     for n in range(140):
         assert set(got[0, n]) == set(want[0, n])
+
+
+def test_pallas_select_min_k_interpret(rng):
+    from mocopci_tpu.ops.pallas.select_k import select_min_k_pallas
+
+    vals = rng.normal(size=(2, 50, 96)).astype(np.float32)
+    idxs = rng.integers(0, 10_000, size=(2, 50, 96)).astype(np.int32)
+    got = np.asarray(
+        select_min_k_pallas(jnp.asarray(vals), jnp.asarray(idxs), 5, interpret=True)
+    )
+    order = np.argsort(vals, axis=-1, kind="stable")[..., :5]
+    want = np.take_along_axis(idxs, order, axis=-1)
+    np.testing.assert_array_equal(got, want)

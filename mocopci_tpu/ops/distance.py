@@ -110,7 +110,9 @@ def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
             if vals.shape[-1] > 2 * k:
                 from mocopci_tpu.ops.pallas.select_k import select_min_k_pallas
 
-                return select_min_k_pallas(vals, idx, k)
+                # index selection is non-differentiable; stop the gradient so
+                # autodiff never tries to linearise through the Pallas kernel
+                return select_min_k_pallas(jax.lax.stop_gradient(vals), idx, k)
             _, sel = jax.lax.top_k(-vals, k)
             return jnp.take_along_axis(idx, sel, axis=-1).astype(jnp.int32)
         _, idx = jax.lax.approx_min_k(dists, k, recall_target=_KNN_RECALL)

@@ -120,3 +120,26 @@ def test_emd_metric_normalisation(rng):
     b = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
     want = float(jnp.mean(ops.earth_mover_distance(a, b))) / 16
     np.testing.assert_allclose(float(ops.emd(a, b)), want, rtol=1e-6)
+
+
+def test_reference_named_utils(rng):
+    """models/utils.py-compatible channels-first wrappers."""
+    from mocopci_tpu import utils
+
+    a = rng.normal(size=(2, 3, 20)).astype(np.float32)
+    b = rng.normal(size=(2, 3, 20)).astype(np.float32)
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    want_cd = float(ops.chamfer_distance(ja.transpose(0, 2, 1), jb.transpose(0, 2, 1)))
+    np.testing.assert_allclose(float(utils.chamfer_loss(ja, jb)), want_cd, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(utils.EMD(ja, jb)),
+        float(ops.emd(ja.transpose(0, 2, 1), jb.transpose(0, 2, 1))),
+        rtol=1e-6,
+    )
+    d = np.asarray(utils.pdist2squared(ja, jb))
+    want = ((a.transpose(0, 2, 1)[:, :, None] - b.transpose(0, 2, 1)[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, want, rtol=1e-3, atol=1e-3)
+    sched = utils.ClippedStepLR(1e-3, 15, 5e-5, 0.8)
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(15)), 8e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10000)), 5e-5, rtol=1e-6)

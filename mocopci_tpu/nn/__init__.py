@@ -30,3 +30,4 @@ from mocopci_tpu.nn.pointnet2_modules import (
     SetAbstraction,
     query_and_group,
 )
+from mocopci_tpu.nn.refine import FlowRefineNet

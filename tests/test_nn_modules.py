@@ -39,3 +39,21 @@ def test_set_abstraction_radius_mode(rng):
     vs = sa.init(jax.random.PRNGKey(0), xyz, None)
     _, f = sa.apply(vs, xyz, None)
     assert f.shape == (1, 8, 16)
+
+
+def test_flow_refine_net(rng):
+    from mocopci_tpu.nn.refine import FlowRefineNet
+
+    B, N = 2, 20
+    fea0 = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    fea1 = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    cost = jnp.asarray(rng.normal(size=(B, N, 12)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    m = FlowRefineNet(context_dim=16, corr_dim=12)
+    vs = m.init(jax.random.PRNGKey(0), fea0, fea1, cost, flow)
+    out = m.apply(vs, fea0, fea1, cost, flow)
+    assert out.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # residual refinement: zero-weight head would return flow unchanged;
+    # random weights must change it
+    assert float(jnp.abs(out - flow).max()) > 1e-6

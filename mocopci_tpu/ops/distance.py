@@ -82,13 +82,6 @@ def set_knn_mode(mode: str, recall: float = 0.95) -> None:
     _KNN_RECALL = recall
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend
-        return False
-
-
 def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     """Indices of the k smallest entries along the last axis. (B, N, k) int32.
 
@@ -99,26 +92,33 @@ def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     unit produces ~1024 candidates per row (aggregate_to_topk=False — its
     built-in aggregation SORTS the candidate row, the single largest cost of
     the kNN pipeline), then the Pallas ``select_min_k`` kernel extracts the k
-    smallest by iterative VMEM-resident min-extraction.
+    smallest by iterative VMEM-resident min-extraction.  Dispatch uses
+    ``lax.platform_dependent`` so it follows the backend the computation is
+    lowered for, not the default platform.
     """
     k = min(k, dists.shape[-1])
-    if _KNN_MODE == "approx":
-        if _on_tpu():
-            vals, idx = jax.lax.approx_min_k(
-                dists, k, recall_target=_KNN_RECALL, aggregate_to_topk=False
-            )
-            if vals.shape[-1] > 2 * k:
-                from mocopci_tpu.ops.pallas.select_k import select_min_k_pallas
-
-                # index selection is non-differentiable; stop the gradient so
-                # autodiff never tries to linearise through the Pallas kernel
-                return select_min_k_pallas(jax.lax.stop_gradient(vals), idx, k)
-            _, sel = jax.lax.top_k(-vals, k)
-            return jnp.take_along_axis(idx, sel, axis=-1).astype(jnp.int32)
-        _, idx = jax.lax.approx_min_k(dists, k, recall_target=_KNN_RECALL)
-    else:
+    if _KNN_MODE != "approx":
         _, idx = jax.lax.top_k(-dists, k)
-    return idx.astype(jnp.int32)
+        return idx.astype(jnp.int32)
+
+    def tpu_path(d):
+        vals, idx = jax.lax.approx_min_k(
+            d, k, recall_target=_KNN_RECALL, aggregate_to_topk=False
+        )
+        if vals.shape[-1] > 2 * k:
+            from mocopci_tpu.ops.pallas.select_k import select_min_k_pallas
+
+            # index selection is non-differentiable; stop the gradient so
+            # autodiff never tries to linearise through the Pallas kernel
+            return select_min_k_pallas(jax.lax.stop_gradient(vals), idx, k)
+        _, sel = jax.lax.top_k(-vals, k)
+        return jnp.take_along_axis(idx, sel, axis=-1).astype(jnp.int32)
+
+    def default_path(d):
+        _, idx = jax.lax.approx_min_k(d, k, recall_target=_KNN_RECALL)
+        return idx.astype(jnp.int32)
+
+    return jax.lax.platform_dependent(dists, tpu=tpu_path, default=default_path)
 
 
 # Above this many distance-matrix entries per batch element, the kNN switches

@@ -62,21 +62,23 @@ def farthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
 def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     """FPS dispatching to the Pallas kernel on TPU, XLA scan elsewhere.
 
+    The dispatch uses ``lax.platform_dependent`` so it is resolved at lowering
+    time for the backend the computation actually runs on (a jit may target
+    CPU even when a TPU backend is registered, e.g. the virtual-mesh dry run).
+
     Index selection is non-differentiable (the CUDA original marks it
     non-diff too, ``pointnet2_utils.py:33-36``), so gradients are stopped at
     the input — this also keeps autodiff from trying to linearise through the
     Pallas kernel.
     """
-    xyz = lax.stop_gradient(xyz)
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend
-        on_tpu = False
-    if on_tpu:
-        from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pallas
+    from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
-        return farthest_point_sample_pallas(xyz, npoint)
-    return farthest_point_sample_xla(xyz, npoint)
+    xyz = lax.stop_gradient(xyz)
+    return jax.lax.platform_dependent(
+        xyz,
+        tpu=functools.partial(farthest_point_sample_pallas, npoint=npoint),
+        default=functools.partial(farthest_point_sample_xla, npoint=npoint),
+    )
 
 
 def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:

@@ -18,6 +18,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     devices = jax.devices()
+    if n_data is not None and len(devices) < n_data * n_model:
+        # the default platform is too small (e.g. one real TPU while the
+        # caller wants a virtual multi-device CPU mesh) — fall back to CPU
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_data * n_model:
+                devices = cpu
+        except RuntimeError:
+            pass
     if n_data is None:
         n_data = len(devices) // n_model
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

@@ -92,3 +92,21 @@ def test_reference_dead_modules_are_dropped(reference_state_dict):
     assert any(k.startswith("multi_frame_inference.recurrent0.") for k in keys)
     assert any(k.startswith("multi_frame_inference.fusion_gru.") for k in keys)
     assert any(k.startswith("multi_frame_inference.rf_block0.") for k in keys)
+
+
+def test_load_reference_checkpoint_pth(reference_state_dict, tmp_path):
+    """End-to-end: a torch-saved reference checkpoint file loads and converts."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in reference_state_dict.items()}
+    path = tmp_path / "ckpt_best_0_0.0.pth"
+    torch.save({"net": sd, "epoch": 0}, str(path))
+
+    from mocopci_tpu.training.convert import load_reference_checkpoint
+
+    params, batch_stats = load_reference_checkpoint(str(path))
+    assert "encoder" in params and "estimator" in params
+    w = params["encoder"]["level0"]["linear"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(w), reference_state_dict["encoder.level0.linear.weight"].T
+    )

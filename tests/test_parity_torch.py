@@ -323,3 +323,16 @@ def test_multiframe_attention_wrapper_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got_feats), _np(w_feats).transpose(0, 1, 3, 2), rtol=RTOL, atol=ATOL
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_FULL_PARITY"),
+    reason="full-model parity is slow (~5 min CPU); set RUN_FULL_PARITY=1",
+)
+def test_full_model_parity_8192():
+    """The ENTIRE model at production size matches the executed torch reference
+    with converted weights (scripts/full_model_parity.py): measured mean |diff|
+    1.9e-4 on ~32-unit coordinates, inter-prediction Chamfer ~5e-6."""
+    import scripts.full_model_parity as fp
+
+    assert fp.main(npoints=8192)

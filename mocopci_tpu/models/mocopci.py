@@ -494,6 +494,13 @@ class MoCoPCI(nn.Module):
         self.estimator = MultiFrameEstimator(self.cfg, name="estimator")
 
     def __call__(self, xyz1, xyz2, train: bool = False, deterministic: bool = True):
-        pc1s, feat1s = self.encoder(xyz1)
-        pc2s, feat2s = self.encoder(xyz2)
+        # the reference runs the shared encoder twice (mocopci.py:1072-1073);
+        # every encoder op is per-cloud, so one batched call over the stacked
+        # clouds does the same work with half the op count
+        B = xyz1.shape[0]
+        pcs, feats = self.encoder(jnp.concatenate([xyz1, xyz2], axis=0))
+        pc1s = [p[:B] for p in pcs]
+        pc2s = [p[B:] for p in pcs]
+        feat1s = [f[:B] for f in feats]
+        feat2s = [f[B:] for f in feats]
         return self.estimator(pc1s, pc2s, feat1s, feat2s, train, deterministic)

@@ -47,15 +47,19 @@ def main(argv=None):
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from mocopci_tpu import ops
-    from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
+    from mocopci_tpu.config import ModelConfig, TrainConfig, timestamps, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
     from mocopci_tpu.training import CheckpointManager, create_train_state, eval_step
 
     ops.set_knn_mode(args.knn_mode, args.knn_recall)
 
+    import dataclasses
+
+    t_f, t_b = timestamps(args.t_begin, args.t_end, args.interval, args.num_frames)
     model_cfg = tiny_model_config(args.npoints) if args.tiny else ModelConfig(
         npoints=args.npoints
     )
+    model_cfg = dataclasses.replace(model_cfg, t_forward=t_f, t_backward=t_b)
 
     if args.synthetic:
         dataset = SyntheticInterpolationDataset(
@@ -77,21 +81,39 @@ def main(argv=None):
 
     cd_lists = [[] for _ in range(3)]
     emd_lists = [[] for _ in range(3)]
-    n_batches = 0
-    t0 = time.time()
-    for batch in batches(dataset, args.batch_size, shuffle=False, drop_last=False):
-        m = eval_step(
-            state,
-            {k: np.asarray(v) for k, v in batch.items()},
-            model_cfg,
-            not args.no_emd,
-        )
+    # latency accounting: the first batch pays the jit compile — measured
+    # separately so wall_s is a usable steady-state metric (the reference
+    # prints per-sample forward latency, test.py:83-86)
+    compile_s = 0.0
+    steady_s = 0.0
+    steady_samples = 0
+    first_batch = None
+    for i, batch in enumerate(batches(dataset, args.batch_size, shuffle=False, drop_last=False)):
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        t1 = time.perf_counter()
+        m = eval_step(state, batch, model_cfg, not args.no_emd)
+        m = {k: np.asarray(v) for k, v in m.items()}  # forces full execution
+        dt = time.perf_counter() - t1
+        if i == 0:
+            compile_s = dt
+            first_batch = batch
+        else:
+            steady_s += dt
+            steady_samples += batch["pc1"].shape[0]
         for j in range(3):
-            cd_lists[j].extend(np.asarray(m[f"cd_{j}"]).tolist())
+            cd_lists[j].extend(m[f"cd_{j}"].tolist())
             if not args.no_emd:
-                emd_lists[j].extend(np.asarray(m[f"emd_{j}"]).tolist())
-        n_batches += 1
-    wall = time.time() - t0
+                emd_lists[j].extend(m[f"emd_{j}"].tolist())
+    if steady_samples == 0 and first_batch is not None:
+        # single-batch split: re-time the compiled program
+        t1 = time.perf_counter()
+        m = eval_step(state, first_batch, model_cfg, not args.no_emd)
+        jax.tree_util.tree_map(np.asarray, m)
+        steady_s = time.perf_counter() - t1
+        steady_samples = first_batch["pc1"].shape[0]
+    per_sample_ms = 1e3 * steady_s / max(steady_samples, 1)
+    print(f"inference+metrics: {per_sample_ms:.2f} ms/sample "
+          f"(steady state over {steady_samples} samples; compile {compile_s:.1f}s excluded)")
 
     result = {}
     for j in range(3):
@@ -106,7 +128,9 @@ def main(argv=None):
     if not args.no_emd:
         result["emd_mean"] = float(np.mean([np.mean(e) for e in emd_lists]))
         print("Average: Mean earth mover's distance: ", result["emd_mean"])
-    result["wall_s"] = wall
+    result["wall_s"] = steady_s
+    result["compile_s"] = compile_s
+    result["per_sample_ms"] = per_sample_ms
     print(json.dumps(result))
     return result
 

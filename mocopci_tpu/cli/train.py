@@ -51,15 +51,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def get_timestamp(args):
-    """Reference ``get_timestamp`` (``train.py:49-55``)."""
-    time_seq = list(np.linspace(args.t_begin, args.t_end, args.num_frames))
-    t_left = time_seq[args.num_frames // 2 - 1]
-    t_right = time_seq[args.num_frames // 2]
-    time_intp = list(np.linspace(t_left, t_right, args.interval + 1))[1:-1]
-    return time_seq, time_intp
-
-
 def main(argv=None):
     args = parse_args(argv)
 
@@ -69,7 +60,7 @@ def main(argv=None):
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from mocopci_tpu import ops
-    from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
+    from mocopci_tpu.config import ModelConfig, TrainConfig, timestamps, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
     from mocopci_tpu.parallel import make_mesh_for_batch, replicated, shard_batch
 
@@ -80,9 +71,13 @@ def main(argv=None):
         train_step,
     )
 
+    import dataclasses
+
+    t_f, t_b = timestamps(args.t_begin, args.t_end, args.interval, args.num_frames)
     model_cfg = tiny_model_config(args.npoints) if args.tiny else ModelConfig(
         npoints=args.npoints
     )
+    model_cfg = dataclasses.replace(model_cfg, t_forward=t_f, t_backward=t_b)
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
         epochs=args.epochs,
@@ -115,9 +110,25 @@ def main(argv=None):
     ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))
     start_epoch = 0
     if args.resume and ckpt.latest_epoch() is not None:
-        state = ckpt.restore(state)
+        state, saved_spe = ckpt.restore_with_meta(state)
         start_epoch = int(ckpt.latest_epoch()) + 1
         print(f"resumed from epoch {start_epoch - 1}")
+        if saved_spe and saved_spe != steps_per_epoch:
+            # the step-indexed StepLR derives epoch = step // steps_per_epoch;
+            # a changed dataset size would silently shift the decay boundary —
+            # keep the schedule pinned to the original cadence
+            from mocopci_tpu.training.loop import make_optimizer
+
+            print(
+                f"warning: steps_per_epoch changed {saved_spe} -> {steps_per_epoch}; "
+                "keeping the LR schedule on the original cadence"
+            )
+            state = state.replace(tx=make_optimizer(train_cfg, saved_spe))
+            steps_per_epoch_lr = saved_spe
+        else:
+            steps_per_epoch_lr = steps_per_epoch
+    else:
+        steps_per_epoch_lr = steps_per_epoch
 
     tb = None
     if args.tensorboard:
@@ -181,11 +192,11 @@ def main(argv=None):
         # best-by-train-loss_f checkpoint policy (ref train.py:202-215)
         if means.get("loss_f", float("inf")) < best_loss_f:
             best_loss_f = means["loss_f"]
-            ckpt.save(epoch, state, metrics=means)
+            ckpt.save(epoch, state, metrics=means, steps_per_epoch=steps_per_epoch_lr)
             print(f"Best train loss: {best_loss_f:.4f} (checkpoint saved)")
         if stop_requested["flag"]:
             if ckpt.latest_epoch() != epoch:
-                ckpt.save(epoch, state, metrics=means)
+                ckpt.save(epoch, state, metrics=means, steps_per_epoch=steps_per_epoch_lr)
             print(f"stopped by signal after epoch {epoch + 1} (checkpoint saved)")
             break
     if tb is not None:

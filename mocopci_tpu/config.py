@@ -12,6 +12,45 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import numpy as np
+
+
+def timestamps(
+    t_begin: float = 0.0,
+    t_end: float = 1.0,
+    interval: int = 4,
+    num_frames: int = 4,
+) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Frame timestamps from the CLI flags — wires ``--interval``/``--t_begin``/
+    ``--t_end`` into the model.
+
+    Reproduces the reference ``get_timestamp`` (``train.py:49-55``) and the
+    hard-coded endpoint convention of the model (``mocopci.py:824-825``: the
+    five attention time tokens are ``[t_begin, *time_intp, t_end]``).  With the
+    default flags this returns bit-for-bit the reference literals.
+
+    The one-shot heads-as-frames synthesis (``mocopci.py:589-621``) emits
+    exactly ``interval - 1 = 3`` intermediate frames, and the NL-Drive row
+    contract is 7 files = 4 inputs + 3 gt, so ``interval``/``num_frames`` other
+    than 4 are rejected rather than silently ignored.
+    """
+    if interval != 4:
+        raise ValueError(
+            f"--interval must be 4 (got {interval}): the one-shot frame "
+            "synthesis head emits interval-1=3 frames and the NL-Drive row "
+            "contract provides exactly 3 ground-truth frames"
+        )
+    if num_frames != 4:
+        raise ValueError(
+            f"--num_frames must be 4 (got {num_frames}): NL-Drive rows carry "
+            "4 input frames (01/05/09/13)"
+        )
+    time_seq = np.linspace(t_begin, t_end, num_frames)
+    t_left, t_right = time_seq[num_frames // 2 - 1], time_seq[num_frames // 2]
+    intp = np.linspace(t_left, t_right, interval + 1)[1:-1]
+    t_forward = (float(t_begin),) + tuple(float(x) for x in intp) + (float(t_end),)
+    return t_forward, tuple(reversed(t_forward))
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:

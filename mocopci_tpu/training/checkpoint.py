@@ -31,12 +31,22 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, epoch: int, state: TrainState, metrics: Optional[Dict] = None):
+    def save(
+        self,
+        epoch: int,
+        state: TrainState,
+        metrics: Optional[Dict] = None,
+        steps_per_epoch: int = 0,
+    ):
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
+            # the StepLR schedule derives epoch = step // steps_per_epoch;
+            # persisting it lets resume detect a changed dataset size that
+            # would silently shift the LR decay boundary
+            "steps_per_epoch": jax.numpy.asarray(steps_per_epoch, jax.numpy.int32),
         }
         self._mgr.save(
             epoch,
@@ -51,23 +61,32 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state: TrainState, epoch: Optional[int] = None) -> TrainState:
+        state, _ = self.restore_with_meta(state, epoch)
+        return state
+
+    def restore_with_meta(self, state: TrainState, epoch: Optional[int] = None):
+        """Returns (state, saved_steps_per_epoch). 0 = not recorded."""
+        import jax.numpy as jnp
+
         epoch = self._mgr.latest_step() if epoch is None else epoch
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
+            "steps_per_epoch": jnp.zeros((), jnp.int32),
         }
         restored = self._mgr.restore(
             epoch,
             args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
         )["state"]
-        return state.replace(
+        state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+        return state, int(restored["steps_per_epoch"])
 
     def close(self):
         self._mgr.close()

@@ -56,3 +56,22 @@ def test_eval_cli_synthetic():
     assert r.returncode == 0, r.stderr[-3000:]
     assert "Average: Mean chamfer distance:" in r.stdout
     assert "Average: Mean earth mover's distance:" in r.stdout
+    # latency hygiene: per-sample latency printed, compile excluded from wall_s
+    assert "ms/sample" in r.stdout
+    import json
+
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["compile_s"] > 0
+    assert 0 < summary["wall_s"] < summary["compile_s"]
+
+
+def test_resume_with_changed_dataset_size_pins_lr_cadence(tmp_path):
+    common = ["train.py", "--tiny", "--npoints", "64", "--batch_size", "2",
+              "--save_dir", str(tmp_path), "--log_every", "100"]
+    r = _run(common + ["--synthetic", "4", "--epochs", "1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    # resume with a different dataset size -> different steps_per_epoch
+    r = _run(common + ["--synthetic", "8", "--epochs", "2", "--resume"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "resumed from epoch 0" in r.stdout
+    assert "steps_per_epoch changed 2 -> 4" in r.stdout

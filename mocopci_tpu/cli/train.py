@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--knn_mode", type=str, default="approx",
                    choices=["approx", "exact"])
     p.add_argument("--knn_recall", type=float, default=0.95)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype for attention/grouped-MLP paths")
     return p.parse_args(argv)
 
 
@@ -65,6 +68,9 @@ def main(argv=None):
     from mocopci_tpu.parallel import make_mesh_for_batch, replicated, shard_batch
 
     ops.set_knn_mode(args.knn_mode, args.knn_recall)
+    from mocopci_tpu.nn import set_compute_dtype
+
+    set_compute_dtype(args.compute_dtype)
     from mocopci_tpu.training import (
         CheckpointManager,
         create_train_state,

@@ -31,7 +31,7 @@ from flax import linen as nn
 from mocopci_tpu import ops
 from mocopci_tpu.config import ModelConfig
 from mocopci_tpu.nn.attention import CrossFrameBlock, EICrossformer, MultiFrameBlock
-from mocopci_tpu.nn.basic import ConvLReLU, FrameBatchNorm
+from mocopci_tpu.nn.basic import ConvLReLU, FrameBatchNorm, compute_dtype
 from mocopci_tpu.nn.cross import (
     BidirectionalLayerFeatCosine,
     CrossLayerFeatCosine,
@@ -289,9 +289,9 @@ class MultiFrameEstimator(nn.Module):
         # fusion head conv stack 4->64->64->128 with BN(eps 1e-3) + ReLU
         # (ref mocopci.py:748-755)
         self.fusion_dense = [
-            nn.Dense(c1, name="fusion_conv0"),
-            nn.Dense(c1, name="fusion_conv1"),
-            nn.Dense(c2, name="fusion_conv2"),
+            nn.Dense(c1, dtype=compute_dtype(), name="fusion_conv0"),
+            nn.Dense(c1, dtype=compute_dtype(), name="fusion_conv1"),
+            nn.Dense(c2, dtype=compute_dtype(), name="fusion_conv2"),
         ]
         self.fusion_bn = [
             FrameBatchNorm(eps=1e-3, name="fusion_bn0"),
@@ -305,7 +305,7 @@ class MultiFrameEstimator(nn.Module):
             cfg.refine_npoint, cfg.feat_nei, c1, cfg.weightnet, name="refine_level1"
         )
         self.shape1 = PointTransformerBlock(c1, cfg.refine_k, name="shape1")
-        self.pred1 = nn.Dense(c0, name="pred1")
+        self.pred1 = nn.Dense(c0, dtype=compute_dtype(), name="pred1")
         self.pred2 = nn.Dense(3, name="pred2")
 
     def _fusion(self, points1, points2, n_groups, train):
@@ -333,7 +333,8 @@ class MultiFrameEstimator(nn.Module):
             h = h.reshape((fb,) + h.shape[2:])
             h = nn.relu(h)
         h = jnp.max(h, axis=-1)                                # max over channels
-        w = jax.nn.softmax(h, axis=-1)                         # softmax over 2k
+        # blend weights and positions in f32 (coordinate precision)
+        w = jax.nn.softmax(h.astype(jnp.float32), axis=-1)     # softmax over 2k
         return jnp.sum(w[..., None] * neighbor, axis=2)        # (FB,N,3)
 
     def _refine(self, feat0, base_pc, up_flow, train):
@@ -345,7 +346,8 @@ class MultiFrameEstimator(nn.Module):
         down_xyz, down_feat = self.refine_level1(base_pc, warped_feat)
         shaped = self.shape1(down_feat, down_xyz)
         up = ops.upsample(base_pc, down_xyz, shaped)
-        return self.pred2(nn.relu(self.pred1(up)))
+        # pred2 emits xyz offsets -> f32 (pred1 inherits compute dtype)
+        return self.pred2(nn.relu(self.pred1(up)).astype(jnp.float32))
 
     def __call__(
         self,

@@ -9,6 +9,8 @@ from mocopci_tpu.nn.attention import (
 )
 from mocopci_tpu.nn.basic import (
     BatchNorm,
+    compute_dtype,
+    set_compute_dtype,
     ConvLReLU,
     DropPath,
     EasyMlp,

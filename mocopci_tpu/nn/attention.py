@@ -28,6 +28,7 @@ from mocopci_tpu.nn.basic import (
     FrameBatchNorm,
     Mlp,
     MlpT,
+    compute_dtype,
 )
 
 
@@ -35,6 +36,39 @@ from mocopci_tpu.nn.basic import (
 # attention switches to blockwise evaluation over query chunks (the dense
 # matrix at the 32k stress config is 5·8·8192² fp32 ≈ 13 GB — more than HBM).
 _DENSE_ATTN_LIMIT = 8 * 1024 * 1024
+
+
+def _fused_sdpa(q, k, v, scale):
+    """Deterministic softmax attention, (..., N, H, D) layout.
+
+    On TPU dispatches to the Pallas kernel with VMEM-resident logits tiles
+    (the dense program materializes the (..., H, N, M) logits in HBM three
+    times over — 671 MB at L1); elsewhere the dense einsum.  Numerics match
+    the dense path (f32 MXU accumulation, f32 softmax).
+    """
+    from mocopci_tpu.ops.pallas.attention import fused_attention_pallas
+
+    lead = q.shape[:-3]
+    N, H, D = q.shape[-3:]
+    M = k.shape[-3]
+
+    def to_g(x, L):
+        x = jnp.moveaxis(x, -2, -3)                    # (..., H, L, D)
+        return x.reshape((-1, L, D))
+
+    def tpu(q, k, v):
+        out = fused_attention_pallas(to_g(q, N), to_g(k, M), to_g(v, M), scale)
+        out = out.reshape(lead + (H, N, D))
+        return jnp.moveaxis(out, -3, -2)               # (..., N, H, D)
+
+    def default(q, k, v):
+        attn = jax.nn.softmax(
+            jnp.einsum("...nhd,...mhd->...hnm", q, k,
+                       preferred_element_type=jnp.float32) * scale, axis=-1)
+        return jnp.einsum("...hnm,...mhd->...nhd", attn.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    return jax.lax.platform_dependent(q, k, v, tpu=tpu, default=default)
 
 
 def _chunked_mha(q, k, v, scale):
@@ -50,9 +84,11 @@ def _chunked_mha(q, k, v, scale):
     chunk = max(_DENSE_ATTN_LIMIT // M, 128)
     if N <= chunk:
         attn = jax.nn.softmax(
-            jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * scale, axis=-1
+            jnp.einsum("bfnhd,bfmhd->bfhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale, axis=-1
         )
-        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v)
+        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
     nb = -(-N // chunk)
     pad = nb * chunk - N
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
@@ -60,9 +96,11 @@ def _chunked_mha(q, k, v, scale):
 
     def one(qb):  # (B, F, chunk, H, D)
         attn = jax.nn.softmax(
-            jnp.einsum("bfnhd,bfmhd->bfhnm", qb, k) * scale, axis=-1
+            jnp.einsum("bfnhd,bfmhd->bfhnm", qb, k,
+                       preferred_element_type=jnp.float32) * scale, axis=-1
         )
-        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v)
+        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
 
     out = jax.lax.map(one, qc)                       # (nb, B, F, chunk, H, D)
     out = out.transpose(1, 2, 0, 3, 4, 5).reshape(B, F, nb * chunk, H, D)
@@ -81,17 +119,25 @@ class CrossAttention(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
-        kv = nn.Dense(2 * C, use_bias=False, name="kv")(c)
-        q = nn.Dense(C, use_bias=False, name="q")(x)
+        kv = nn.Dense(2 * C, use_bias=False, dtype=compute_dtype(), name="kv")(c)
+        q = nn.Dense(C, use_bias=False, dtype=compute_dtype(), name="q")(x)
         k, v = jnp.split(kv.reshape(B, N, 2, H, hd), 2, axis=2)
         k = k.squeeze(2)
         v = v.squeeze(2)
         q = q.reshape(B, N, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        from mocopci_tpu.ops.pallas.attention import MAX_SEQ
+
+        if deterministic and N <= MAX_SEQ:
+            out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, N, C)
+        else:
+            # logits accumulate in f32; softmax in f32; dropout needs the matrix
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (hd ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).reshape(B, N, C)
+        out = nn.Dense(C, dtype=compute_dtype(), name="proj")(out)
         return nn.Dropout(self.drop, deterministic=deterministic)(out)
 
 
@@ -109,7 +155,7 @@ class Injector(nn.Module):
             qn, fn, deterministic
         )
         gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
-        return gamma * attn
+        return gamma * attn.astype(jnp.float32)
 
 
 class Extractor(nn.Module):
@@ -149,8 +195,10 @@ class EICrossformer(nn.Module):
         res2 = Extractor(self.dim, self.num_heads, name="extractor")(
             x2, x1, deterministic
         )
-        cat = jnp.concatenate([res1, res2], axis=-1)
-        return nn.Dense(self.dim, use_bias=False, name="pj")(cat)
+        cat = jnp.concatenate([res1.astype(compute_dtype()),
+                               res2.astype(compute_dtype())], axis=-1)
+        return nn.Dense(self.dim, use_bias=False, dtype=compute_dtype(),
+                        name="pj")(cat)
 
 
 class CrossFrameBlock(nn.Module):
@@ -173,24 +221,37 @@ class CrossFrameBlock(nn.Module):
         x = FrameBatchNorm(name="norm1")(xs, train)
         x_rev = jnp.flip(x, axis=1)
         # full-dim heads: q -> (B, F, H, N, C), scale = C^-0.5 (mocopci.py:589-590)
-        q = nn.Dense(C * H, use_bias=True, kernel_init=_TRUNC02, name="attn_q")(x)
-        kv = nn.Dense(C * 2 * H, use_bias=True, kernel_init=_TRUNC02, name="attn_kv")(x_rev)
+        q = nn.Dense(C * H, use_bias=True, kernel_init=_TRUNC02,
+                     dtype=compute_dtype(), name="attn_q")(x)
+        kv = nn.Dense(C * 2 * H, use_bias=True, kernel_init=_TRUNC02,
+                      dtype=compute_dtype(), name="attn_kv")(x_rev)
         q = q.reshape(B, F, N, H, C)
         k, v = jnp.split(kv.reshape(B, F, N, 2, H, C), 2, axis=3)
         k = k.squeeze(3)
         v = v.squeeze(3)
-        attn = jnp.einsum("bfnhc,bfmhc->bfhnm", q, k) * (C ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bfhnm,bfmhc->bfhnc", attn, v)
-        # heads-as-frames: sum the two frames' outputs (mocopci.py:621)
-        out = jnp.sum(out, axis=1)                      # (B, H, N, C)
-        out = nn.Dense(C, kernel_init=_TRUNC02, name="attn_proj")(out)
+        from mocopci_tpu.ops.pallas.attention import MAX_SEQ
+
+        if deterministic and N <= MAX_SEQ:
+            out = _fused_sdpa(q, k, v, C ** -0.5)       # (B, F, N, H, C)
+            out = jnp.sum(out, axis=1).transpose(0, 2, 1, 3)  # (B, H, N, C)
+        else:
+            attn = jnp.einsum("bfnhc,bfmhc->bfhnm", q, k,
+                              preferred_element_type=jnp.float32) * (C ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("bfhnm,bfmhc->bfhnc", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            # heads-as-frames: sum the two frames' outputs (mocopci.py:621)
+            out = jnp.sum(out, axis=1)                  # (B, H, N, C)
+        out = nn.Dense(C, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                       name="attn_proj")(out)
         out = nn.Dropout(self.drop, deterministic=deterministic)(out)
         feats = EasyMlp(int(C * self.mlp_ratio), C, self.drop, name="trans_block_2")(
             out, deterministic
         )
-        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(feats)
+        # xyz-emitting projection stays f32 (coordinate precision)
+        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(
+            feats.astype(jnp.float32))
         # drop candidate frame 0 (mocopci.py:520-521)
         return feats[:, 1:], frames[:, 1:]
 
@@ -218,20 +279,29 @@ class MultiFrameBlock(nn.Module):
         hd = C // H
         x_norm = FrameBatchNorm(name="norm1")(xs, train)
         x_rev = jnp.flip(x_norm, axis=1)
-        q = nn.Dense(C, use_bias=True, kernel_init=_TRUNC02, name="attn_q")(x_norm)
-        kv = nn.Dense(2 * C, use_bias=True, kernel_init=_TRUNC02, name="attn_kv")(x_rev)
+        q = nn.Dense(C, use_bias=True, kernel_init=_TRUNC02,
+                     dtype=compute_dtype(), name="attn_q")(x_norm)
+        kv = nn.Dense(2 * C, use_bias=True, kernel_init=_TRUNC02,
+                      dtype=compute_dtype(), name="attn_kv")(x_rev)
         q = q.reshape(B, F, N, H, hd)
         k, v = jnp.split(kv.reshape(B, F, N, 2, H, hd), 2, axis=3)
         k = k.squeeze(3)
         v = v.squeeze(3)
-        if deterministic and N * N > _DENSE_ATTN_LIMIT:
+        from mocopci_tpu.ops.pallas.attention import MAX_SEQ
+
+        if deterministic and N <= MAX_SEQ:
+            out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, F, N, C)
+        elif deterministic and N * N > _DENSE_ATTN_LIMIT:
             out = _chunked_mha(q, k, v, hd ** -0.5).reshape(B, F, N, C)
         else:
-            attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k) * (hd ** -0.5)
+            attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k,
+                              preferred_element_type=jnp.float32) * (hd ** -0.5)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-            out = jnp.einsum("bfhnm,bfmhd->bfnhd", attn, v).reshape(B, F, N, C)
-        out = nn.Dense(C, kernel_init=_TRUNC02, name="attn_proj")(out)
+            out = jnp.einsum("bfhnm,bfmhd->bfnhd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).reshape(B, F, N, C)
+        out = nn.Dense(C, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                       name="attn_proj")(out)
         out = nn.Dropout(self.drop, deterministic=deterministic)(out)
 
         dp = DropPath(self.drop_path, sample_ndim=2, name="drop_path")
@@ -247,6 +317,8 @@ class MultiFrameBlock(nn.Module):
         x_f = MlpT(int(C * self.mlp_ratio), self.latent, self.drop, name="trans_block")(
             x, deterministic
         )
-        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(x_f)
+        # xyz-emitting projection stays f32 (coordinate precision)
+        frames = nn.Dense(3, kernel_init=_TRUNC02, name="mapping_xyz")(
+            x_f.astype(jnp.float32))
         # drop the first/last (input-frame) tokens (mocopci.py:573-574)
         return x_f[:, 1:-1], frames[:, 1:-1]

@@ -34,6 +34,26 @@ from flax import linen as nn
 
 LEAKY_RATE = 0.1
 
+# Mixed-precision compute dtype for the activation-heavy paths (attention,
+# grouped MLPs, fusion head).  Parameters, optimizer state, geometry (xyz,
+# flows, distances, kNN) and every xyz-emitting projection stay float32;
+# setting bfloat16 halves HBM traffic on the fat intermediate tensors the
+# profile names as the bottleneck (docs/DESIGN.md §3).  Read at trace time —
+# set it before jit-tracing model functions (same pattern as ops.set_knn_mode).
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    """dtype: 'float32' | 'bfloat16' (or the jnp dtypes)."""
+    global _COMPUTE_DTYPE
+    d = jnp.dtype(dtype)
+    assert d in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)), d
+    _COMPUTE_DTYPE = jnp.float32 if d == jnp.dtype(jnp.float32) else jnp.bfloat16
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 class PReLU(nn.Module):
     """Single-parameter PReLU, torch default init 0.25."""
@@ -41,7 +61,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", lambda k: jnp.asarray(0.25, jnp.float32))
-        return jnp.where(x >= 0, x, alpha * x)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 class ConvLReLU(nn.Module):
@@ -51,7 +71,7 @@ class ConvLReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features, name="conv")(x)
+        x = nn.Dense(self.features, dtype=compute_dtype(), name="conv")(x)
         return nn.leaky_relu(x, LEAKY_RATE)
 
 
@@ -64,8 +84,10 @@ class WeightNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, h in enumerate(self.hidden):
-            x = nn.relu(nn.Dense(h, name=f"conv{i}")(x))
-        return nn.relu(nn.Dense(self.out_channel, name="conv_out")(x))
+            x = nn.relu(nn.Dense(h, dtype=compute_dtype(), name=f"conv{i}")(x))
+        return nn.relu(
+            nn.Dense(self.out_channel, dtype=compute_dtype(), name="conv_out")(x)
+        )
 
 
 class Mlp(nn.Module):
@@ -77,10 +99,10 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=compute_dtype(), name="fc1")(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=compute_dtype(), name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -97,10 +119,12 @@ class EasyMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                     name="fc1")(x)
         x = PReLU(name="act")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out, kernel_init=_TRUNC02, name="fc2")(x)
+        x = nn.Dense(self.out, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                     name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -118,13 +142,15 @@ class MlpT(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                     name="fc1")(x)
         w = self.param("dw_scale", nn.initializers.ones, (self.hidden,))
         b = self.param("dw_bias", nn.initializers.zeros, (self.hidden,))
-        x = x * w + b
+        x = x * w.astype(x.dtype) + b.astype(x.dtype)
         x = PReLU(name="act")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out, kernel_init=_TRUNC02, name="fc2")(x)
+        x = nn.Dense(self.out, kernel_init=_TRUNC02, dtype=compute_dtype(),
+                     name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -168,6 +194,8 @@ class FrameBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # BN statistics need f32 accumulation
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
@@ -193,7 +221,7 @@ class FrameBatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * jnp.mean(unbiased, axis=0)
         else:
             xn = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.eps)
-        return xn * scale + bias
+        return (xn * scale + bias).astype(in_dtype)
 
 
 class BatchNorm(nn.Module):
@@ -205,6 +233,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # BN statistics need f32 accumulation
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
@@ -225,4 +255,4 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             xn = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.eps)
-        return xn * scale + bias
+        return (xn * scale + bias).astype(in_dtype)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mocopci_tpu import ops
-from mocopci_tpu.nn.basic import LEAKY_RATE, ConvLReLU
+from mocopci_tpu.nn.basic import LEAKY_RATE, ConvLReLU, compute_dtype
 
 
 def _dual_knn_indices(
@@ -66,7 +66,7 @@ def _cross_core(
     neighbor_xyz, g2 = ops.group_multi(idx, xyz2, points2)    # (B,N1,2k,3/D)
     direction = neighbor_xyz - xyz1[:, :, None, :]
     g1 = points1[:, :, None, :]                               # broadcast over k
-    x = nn.leaky_relu(g2 + g1 + pos(direction), LEAKY_RATE)
+    x = nn.leaky_relu(g2 + g1 + pos(direction).astype(g2.dtype), LEAKY_RATE)
     for layer in mlp:
         x = layer(x)
     return jnp.max(x, axis=2)                                 # (B,N1,C)
@@ -85,14 +85,14 @@ class CrossLayerFeatCosine(nn.Module):
     mlp2: Sequence[int]
 
     def setup(self):
-        self.pos1 = nn.Dense(self.mlp1[0], name="pos1")
-        self.cross_t11 = nn.Dense(self.mlp1[0], name="cross_t11")
-        self.cross_t22 = nn.Dense(self.mlp1[0], name="cross_t22")
+        self.pos1 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="pos1")
+        self.cross_t11 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="cross_t11")
+        self.cross_t22 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="cross_t22")
         self.mlp1_layers = [
             ConvLReLU(c, name=f"mlp1_{i}") for i, c in enumerate(self.mlp1[1:])
         ]
-        self.cross_t1 = nn.Dense(self.mlp2[0], name="cross_t1")
-        self.cross_t2 = nn.Dense(self.mlp2[0], name="cross_t2")
+        self.cross_t1 = nn.Dense(self.mlp2[0], dtype=compute_dtype(), name="cross_t1")
+        self.cross_t2 = nn.Dense(self.mlp2[0], dtype=compute_dtype(), name="cross_t2")
 
     def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2):
         k = self.nsample // 2
@@ -117,9 +117,9 @@ class BidirectionalLayerFeatCosine(nn.Module):
     mlp: Sequence[int]
 
     def setup(self):
-        self.pos = nn.Dense(self.mlp[0], name="pos")
-        self.cross_t11 = nn.Dense(self.mlp[0], name="cross_t11")
-        self.cross_t22 = nn.Dense(self.mlp[0], name="cross_t22")
+        self.pos = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="pos")
+        self.cross_t11 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="cross_t11")
+        self.cross_t22 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="cross_t22")
         self.mlp_layers = [
             ConvLReLU(c, name=f"mlp_{i}") for i, c in enumerate(self.mlp[1:])
         ]
@@ -151,9 +151,9 @@ class FlowEmbeddingLayer(nn.Module):
     mlp: Sequence[int]
 
     def setup(self):
-        self.pos = nn.Dense(self.mlp[0], name="pos")
-        self.conv1 = nn.Dense(self.mlp[0], name="conv1")
-        self.conv2 = nn.Dense(self.mlp[0], name="conv2")
+        self.pos = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="pos")
+        self.conv1 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="conv1")
+        self.conv2 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="conv2")
         self.mlp_layers = [
             ConvLReLU(c, name=f"mlp_{i}") for i, c in enumerate(self.mlp[1:])
         ]

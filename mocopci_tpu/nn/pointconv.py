@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mocopci_tpu import ops
-from mocopci_tpu.nn.basic import LEAKY_RATE, WeightNet
+from mocopci_tpu.nn.basic import LEAKY_RATE, WeightNet, compute_dtype
 
 
 def _pointconv_core(
@@ -27,10 +27,13 @@ def _pointconv_core(
 ) -> jax.Array:
     """Shared PointConv aggregation. Returns (B, S, out)."""
     rel = grouped_xyz - query_xyz[:, :, None, :]               # (B,S,K,3)
-    new_points = jnp.concatenate([rel, grouped_feat], axis=-1)  # (B,S,K,3+D)
+    cdt = compute_dtype()
+    new_points = jnp.concatenate(
+        [rel.astype(cdt), grouped_feat.astype(cdt)], axis=-1
+    )                                                           # (B,S,K,3+D)
     weights = weightnet(rel)                                    # (B,S,K,W)
     agg = jnp.einsum(
-        "bskc,bskw->bscw", new_points, weights,
+        "bskc,bskw->bscw", new_points, weights.astype(cdt),
         preferred_element_type=jnp.float32,
     )
     B, S = agg.shape[:2]
@@ -51,7 +54,7 @@ class PointConv(nn.Module):
         idx = ops.knn(self.nsample, xyz, xyz)
         grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
         wn = WeightNet(self.weightnet, name="weightnet")
-        lin = nn.Dense(self.out_channel, name="linear")
+        lin = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
         return _pointconv_core(wn, lin, xyz, grouped_xyz, grouped_feat)
 
 
@@ -72,5 +75,5 @@ class PointConvD(nn.Module):
         idx = ops.knn(self.nsample, xyz, new_xyz)
         grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
         wn = WeightNet(self.weightnet, name="weightnet")
-        lin = nn.Dense(self.out_channel, name="linear")
+        lin = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
         return new_xyz, _pointconv_core(wn, lin, new_xyz, grouped_xyz, grouped_feat)

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mocopci_tpu import ops
+from mocopci_tpu.nn.basic import compute_dtype
 
 
 class PointTransformerBlock(nn.Module):
@@ -21,20 +22,23 @@ class PointTransformerBlock(nn.Module):
         """features: (B, N, d_points); xyz: (B, N, 3) -> (B, N, d_points)."""
         idx = ops.knn(self.k, xyz, xyz)            # sorted ascending == argsort[:k]
 
+        cdt = compute_dtype()
         pre = features
-        x = nn.Dense(self.d_model, name="fc1")(features)
-        q = nn.Dense(self.d_model, use_bias=False, name="w_qs")(x)
-        ks = nn.Dense(self.d_model, use_bias=False, name="w_ks")(x)
-        vs = nn.Dense(self.d_model, use_bias=False, name="w_vs")(x)
+        x = nn.Dense(self.d_model, dtype=cdt, name="fc1")(features)
+        q = nn.Dense(self.d_model, use_bias=False, dtype=cdt, name="w_qs")(x)
+        ks = nn.Dense(self.d_model, use_bias=False, dtype=cdt, name="w_ks")(x)
+        vs = nn.Dense(self.d_model, use_bias=False, dtype=cdt, name="w_vs")(x)
         knn_xyz, k_g, v_g = ops.group_multi(idx, xyz, ks, vs)
 
-        rel = xyz[:, :, None, :] - knn_xyz
-        pos = nn.Dense(self.d_model, name="fc_delta2")(
-            nn.relu(nn.Dense(self.d_model, name="fc_delta1")(rel))
+        rel = (xyz[:, :, None, :] - knn_xyz).astype(cdt)
+        pos = nn.Dense(self.d_model, dtype=cdt, name="fc_delta2")(
+            nn.relu(nn.Dense(self.d_model, dtype=cdt, name="fc_delta1")(rel))
         )
-        attn = nn.Dense(self.d_model, name="fc_gamma2")(
-            nn.relu(nn.Dense(self.d_model, name="fc_gamma1")(q[:, :, None] - k_g + pos))
+        attn = nn.Dense(self.d_model, dtype=cdt, name="fc_gamma2")(
+            nn.relu(nn.Dense(self.d_model, dtype=cdt, name="fc_gamma1")(
+                q[:, :, None] - k_g + pos))
         )
-        attn = nn.softmax(attn / jnp.sqrt(self.d_model), axis=2)
-        res = jnp.sum(attn * (v_g + pos), axis=2)
-        return nn.Dense(features.shape[-1], name="fc2")(res) + pre
+        # softmax over the small neighbour axis in f32
+        attn = nn.softmax(attn.astype(jnp.float32) / jnp.sqrt(self.d_model), axis=2)
+        res = jnp.sum(attn.astype(cdt) * (v_g + pos), axis=2)
+        return nn.Dense(features.shape[-1], dtype=cdt, name="fc2")(res) + pre

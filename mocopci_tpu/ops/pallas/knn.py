@@ -1,0 +1,166 @@
+"""Fused Pallas kNN: distance tiles on the fly + streaming top-k in VMEM.
+
+Replaces the three-stage XLA pipeline (materialize the (B, N, M) distance
+matrix in HBM -> ``lax.approx_min_k`` PartialReduce -> select-k kernel) with a
+single pass (ref op: ``knn_point``, ``models/pointconv_util.py:129-140``).
+At 8192^2 the dense pipeline moves ~0.75 GB of HBM traffic per call and the
+full matrix forces batch=1 to be throughput-optimal; here nothing bigger than
+a (TQ, TR) tile ever exists.
+
+Algorithm (per query tile of TQ rows):
+  1. stream reference tiles of TR points; compute the distance tile with one
+     MXU contraction;
+  2. pack each distance and its global ref index into ONE uint32 key — the
+     distance is non-negative, so its f32 bit pattern is order-preserving, and
+     the low ``ceil(log2 M)`` mantissa bits are replaced by the index.  The
+     streaming top-k state is then a single per-column min:
+     ``bins[q, j] = min over tiles of key[q, j]`` (one VPU pass per tile) —
+     the same candidate structure the TPU PartialReduce unit produces
+     (``aggregate_to_topk=False``);
+  3. after the last tile, extract the k smallest keys by iterative
+     min-extraction — with packed keys each extraction is one min-reduce plus
+     one masked update (keys are unique by construction), ~3 VPU passes
+     instead of the ~7 a separate value/index pair costs.
+
+Accuracy: like ``lax.approx_min_k`` this is approximate when M > TR — a true
+neighbour is lost only if a *closer* point lands in the same bin column.
+Expected recall for k neighbours out of L=TR bins is ~1 - (k-1)/(2L) ≈ 0.985
+for k=32, L=1024 (>= the 0.95 default of the XLA path it replaces); exact when
+M <= TR up to the packing quantisation: stealing ``ceil(log2 M)`` mantissa
+bits quantises distances to ~2^-10 relative at M=8192, which can only swap
+near-exact ties — every live consumer is permutation-invariant over the
+neighbour set (see ops/distance.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
+                q_ref, r_ref, rn_ref, out_ref, bins):
+    TQ = q_ref.shape[1]
+    m_idx = pl.program_id(2)
+    n_m = pl.num_programs(2)
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
+
+    @pl.when(m_idx == 0)
+    def _init():
+        bins[:, :] = jnp.full((TQ, TR), 0x7FFFFFFF, jnp.int32)
+
+    # distance tile: one MXU contraction.  Precision HIGHEST: the default bf16
+    # MXU pass gives ~1e-1 absolute error on squared distances, enough to
+    # reorder neighbours (see ops/distance.py).
+    q = q_ref[0]
+    dot = lax.dot_general(
+        q,
+        r_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if metric == "euclidean":
+        qn = jnp.sum(q * q, axis=-1, keepdims=True)            # (TQ, 1)
+        d = qn + rn_ref[0] - 2.0 * dot
+    else:
+        d = 1.0 - dot
+    # d >= 0 mathematically, so its f32 bit pattern is order-preserving under
+    # signed int compare.  fp rounding can make a true-zero distance slightly
+    # negative; its bit pattern then sorts *first*, which is still correct
+    # membership (it IS a nearest neighbour) and consumers are
+    # permutation-invariant over the k set, so no clamp is needed.
+
+    col = lax.broadcasted_iota(jnp.int32, (TQ, TR), dimension=1)
+    gcol = col + m_idx * TR
+    key = (lax.bitcast_convert_type(d, jnp.int32) & ~idx_mask) | gcol
+    if M % TR != 0:
+        key = jnp.where(gcol < M, key, jnp.int32(0x7FFFFFFF))
+    bins[:, :] = jnp.minimum(bins[:, :], key)
+
+    @pl.when(m_idx == n_m - 1)
+    def _select():
+        kpad = out_ref.shape[-1]
+        out_col = lax.broadcasted_iota(jnp.int32, (TQ, kpad), dimension=1)
+
+        def body(i, carry):
+            b, out = carry
+            m = jnp.min(b, axis=1, keepdims=True)              # (TQ, 1)
+            picked = m & idx_mask
+            out = jnp.where(out_col == i, picked, out)
+            b = jnp.where(b == m, jnp.int32(0x7FFFFFFF), b)    # keys are unique
+            return b, out
+
+        out0 = jnp.zeros((TQ, kpad), jnp.int32)
+        _, out = lax.fori_loop(0, k, body, (bins[:, :], out0))
+        out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def fused_knn_pallas(
+    query: jax.Array,
+    ref: jax.Array,
+    k: int,
+    metric: str = "euclidean",
+    tq: int = 256,
+    tr: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """k nearest reference points per query, streaming over the ref axis.
+
+    Args:
+      query: (B, N, C) fp32.  For metric="cosine" pass pre-normalised rows.
+      ref:   (B, M, C) fp32 (pre-normalised for cosine).
+      k: number of neighbours (static, <= min(M, tr)).
+      metric: "euclidean" | "cosine".
+    Returns:
+      (B, N, k) int32 indices into ref, ascending distance.
+    """
+    assert metric in ("euclidean", "cosine"), metric
+    B, N, C = query.shape
+    M = ref.shape[1]
+    assert k <= M, (k, M)
+    tq = min(tq, _round_up(N, 8))
+    tr = min(tr, _round_up(M, 128))
+    assert k <= tr, (k, tr)
+    idx_bits = max((M - 1).bit_length(), 1)
+
+    npad = _round_up(N, tq)
+    mpad = _round_up(M, tr)
+    kpad = _round_up(k, 128)
+    q = jnp.pad(query.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 0)))
+    r = jnp.pad(ref.astype(jnp.float32), ((0, 0), (0, mpad - M), (0, 0)))
+    if metric == "euclidean":
+        rn = jnp.sum(r * r, axis=-1)[:, None, :]  # (B, 1, mpad)
+    else:
+        rn = jnp.zeros((B, 1, mpad), jnp.float32)
+
+    kernel = functools.partial(_knn_kernel, k, M, tr, idx_bits, metric)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, npad // tq, mpad // tr),
+        in_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, n, m: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, C), lambda b, n, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr), lambda b, n, m: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, kpad), lambda b, n, m: (b, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npad, kpad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tq, tr), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, r, rn)
+    return out[:, :N, :k]

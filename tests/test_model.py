@@ -82,3 +82,43 @@ def test_area_resize_matrix_matches_adaptive_avg_pool():
     A = np.asarray(area_resize_matrix(3, 32))
     got = np.einsum("bnc,dc->bnd", x, A)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_activations_parity():
+    """bf16 compute dtype: outputs stay f32 (xyz projections) and remain close
+    to the f32 program on the same weights (the parity guard for the mixed-
+    precision mode, VERDICT r1 task 6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mocopci_tpu.config import tiny_model_config
+    from mocopci_tpu.models import MoCoPCI
+    from mocopci_tpu.nn import set_compute_dtype
+
+    cfg = tiny_model_config(128)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    x1 = jnp.asarray(r.normal(size=(1, 128, 3)).astype(np.float32))
+    x2 = jnp.asarray(x1 + 0.05 * r.normal(size=(1, 128, 3)).astype(np.float32))
+
+    outs = {}
+    try:
+        for dt in ("float32", "bfloat16"):
+            set_compute_dtype(dt)
+            model = MoCoPCI(cfg)
+            v = jax.jit(
+                lambda a, b: model.init({"params": rng, "dropout": rng}, a, b, train=False)
+            )(x1, x2)
+            out = jax.jit(
+                lambda v, a, b: model.apply(v, a, b, train=False, deterministic=True)["out"]
+            )(v, x1, x2)
+            assert out.dtype == jnp.float32
+            outs[dt] = np.asarray(out)
+    finally:
+        set_compute_dtype("float32")
+    scale = np.abs(outs["float32"]).mean()
+    diff = np.abs(outs["float32"] - outs["bfloat16"]).mean()
+    # random-init weights exaggerate bf16 noise; converged-weight deltas are
+    # documented in docs/DESIGN.md
+    assert diff < 0.05 * scale, (diff, scale)

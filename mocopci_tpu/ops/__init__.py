@@ -17,7 +17,13 @@ from mocopci_tpu.ops.distance import (
     set_knn_mode,
     square_distance,
 )
-from mocopci_tpu.ops.emd import approx_match, earth_mover_distance, emd, match_cost
+from mocopci_tpu.ops.emd import (
+    approx_match,
+    earth_mover_distance,
+    earth_mover_distance_blocked,
+    emd,
+    match_cost,
+)
 from mocopci_tpu.ops.interpolate import (
     point_warp,
     three_interpolate,
@@ -45,6 +51,7 @@ __all__ = [
     "square_distance",
     "approx_match",
     "earth_mover_distance",
+    "earth_mover_distance_blocked",
     "emd",
     "match_cost",
     "point_warp",

@@ -125,8 +125,161 @@ def _emd_bwd(res, g):
 earth_mover_distance.defvjp(_emd_fwd, _emd_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Memory-bounded (blocked) EMD for stress sizes (SURVEY.md §7 hard-part 1).
+#
+# The dense path holds d (B,n,m), the exp kernel, and the match (B,m,n) live —
+# ~1-4 GB/sample at 16k-32k points.  Observation: the annealing loop's mass
+# transfer is SEPARABLE per level:
+#     w_i[n,m] = exp(level_i·d[n,m]) · rl_i[n] · rr_i[m]
+#     match    = Σ_i w_i
+# so the entire match matrix is determined by the 10 (ratio_l, ratio_r) vector
+# pairs, O(10·(n+m)) state.  Every quantity the algorithm needs — the three
+# per-level matvecs of the annealing loop, the final cost, and both gradients
+# (ref ``matchcostgrad1/2``, ``emd_kernel.cu:291-402``) — is a kernel matvec
+#     out[n] = Σ_m exp(level·d[n,m]) [· d[n,m]] · v[m]
+# evaluated here in query chunks with the distance tile recomputed on the fly
+# (never materializing (B,n,m)).  This is also a large training-memory win:
+# the VJP residuals shrink from the O(n·m) match matrix to the ratio vectors.
+# ---------------------------------------------------------------------------
+
+_EMD_DENSE_LIMIT = 1 << 24  # 16M entries (~64 MB fp32) per batch element
+_EMD_CHUNK = 1024
+
+
+def _kernel_matvec(level, xa, xb, v, vd=None):
+    """Chunked kernel matvec.
+
+    out[b,n,:] = Σ_m exp(level·d[b,n,m]) · v[b,m,:]
+    outd[b,n,:] = Σ_m exp(level·d[b,n,m]) · d[b,n,m] · vd[b,m,:]  (if vd given)
+
+    xa: (B,na,3), xb: (B,nb,3), v: (B,nb,C), vd: (B,nb,Cd) or None.
+    Chunked over the query (na) axis; the (chunk, nb) tile is recomputed from
+    xyz on the fly.
+    """
+    B, na, _ = xa.shape
+
+    def one(xa_c):
+        d = square_distance(xa_c, xb)
+        kern = jnp.exp(level * d)
+        out = jnp.einsum("bnm,bmc->bnc", kern, v,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if vd is None:
+            return (out,)
+        outd = jnp.einsum("bnm,bmc->bnc", kern * d, vd,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return (out, outd)
+
+    if na <= _EMD_CHUNK:
+        res = one(xa)
+        return res if vd is not None else res[0]
+    nc = -(-na // _EMD_CHUNK)
+    pad = nc * _EMD_CHUNK - na
+    xp = jnp.pad(xa, ((0, 0), (0, pad), (0, 0)))
+    chunks = xp.reshape(B, nc, _EMD_CHUNK, 3).transpose(1, 0, 2, 3)
+    res = jax.lax.map(one, chunks)          # tuple of (nc, B, chunk, C)
+    res = tuple(
+        r.transpose(1, 0, 2, 3).reshape(B, nc * _EMD_CHUNK, -1)[:, :na] for r in res
+    )
+    return res if vd is not None else res[0]
+
+
+def _annealing_vectors(xyz1, xyz2):
+    """Run the 10-level annealing loop with blockwise matvecs.
+
+    Returns (rls (L,B,n), rrs (L,B,m), cost (B,)) — the separable match
+    representation plus the match cost accumulated on the fly.
+    """
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if n >= m:
+        multi_l, multi_r = 1.0, float(n // m)
+    else:
+        multi_l, multi_r = float(m // n), 1.0
+    levels = jnp.asarray(_LEVELS, jnp.float32)
+
+    def step(carry, level):
+        remain_l, remain_r = carry
+        suml = _kernel_matvec(level, xyz1, xyz2, remain_r[..., None])[..., 0] + 1e-9
+        ratio_l = remain_l / suml
+        sumr = (
+            _kernel_matvec(level, xyz2, xyz1, ratio_l[..., None])[..., 0] * remain_r
+        )
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # one sweep yields both Σ_m w (for remain_l) and the cost contribution
+        kr, krd = _kernel_matvec(
+            level, xyz1, xyz2, ratio_r[..., None], ratio_r[..., None]
+        )
+        sum_w = ratio_l * kr[..., 0]
+        cost_i = jnp.sum(ratio_l * krd[..., 0], axis=1)
+        remain_l = jnp.maximum(0.0, remain_l - sum_w)
+        return (remain_l, remain_r), (ratio_l, ratio_r, cost_i)
+
+    init = (
+        jnp.full((B, n), multi_l, jnp.float32),
+        jnp.full((B, m), multi_r, jnp.float32),
+    )
+    (_, _), (rls, rrs, costs) = lax.scan(step, init, levels)
+    return rls, rrs, jnp.sum(costs, axis=0)
+
+
+@jax.custom_vjp
+def _emd_blocked(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    _, _, cost = _annealing_vectors(xyz1, xyz2)
+    return cost
+
+
+def _emd_blocked_fwd(xyz1, xyz2):
+    rls, rrs, cost = _annealing_vectors(xyz1, xyz2)
+    return cost, (xyz1, xyz2, rls, rrs)
+
+
+def _emd_blocked_bwd(res, g):
+    xyz1, xyz2, rls, rrs = res
+    levels = jnp.asarray(_LEVELS, jnp.float32)
+
+    def side(xa, xb, ra_all, rb_all):
+        # mass[n] = Σ_i ra_i[n]·(K_i @ rb_i)[n];  mp[n] = Σ_i ra_i[n]·(K_i @ (rb_i·xb))[n]
+        def level_term(carry, inp):
+            mass, mp = carry
+            level, ra, rb = inp
+            rhs = jnp.concatenate([rb[..., None], rb[..., None] * xb], axis=-1)
+            out = _kernel_matvec(level, xa, xb, rhs)       # (B,na,4)
+            mass = mass + ra * out[..., 0]
+            mp = mp + ra[..., None] * out[..., 1:]
+            return (mass, mp), None
+
+        B, na, _ = xa.shape
+        init = (jnp.zeros((B, na), jnp.float32), jnp.zeros((B, na, 3), jnp.float32))
+        (mass, mp), _ = lax.scan(level_term, init, (levels, ra_all, rb_all))
+        return mass, mp
+
+    mass1, mp2 = side(xyz1, xyz2, rls, rrs)
+    mass2, mp1 = side(xyz2, xyz1, rrs, rls)
+    grad1 = 2.0 * (mass1[..., None] * xyz1 - mp2) * g[:, None, None]
+    grad2 = 2.0 * (mass2[..., None] * xyz2 - mp1) * g[:, None, None]
+    return grad1, grad2
+
+
+_emd_blocked.defvjp(_emd_blocked_fwd, _emd_blocked_bwd)
+
+
+def earth_mover_distance_blocked(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Memory-bounded approx EMD; identical semantics to the dense path."""
+    return _emd_blocked(xyz1, xyz2)
+
+
 @jax.jit
 def emd(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
-    """Mean EMD normalised by point count — ref ``EMD`` (``models/utils.py:223-235``)."""
-    cost = earth_mover_distance(pc1, pc2)
+    """Mean EMD normalised by point count — ref ``EMD`` (``models/utils.py:223-235``).
+
+    Dispatches to the blocked path above the dense memory limit."""
+    if pc1.shape[1] * pc2.shape[1] > _EMD_DENSE_LIMIT:
+        cost = earth_mover_distance_blocked(pc1, pc2)
+    else:
+        cost = earth_mover_distance(pc1, pc2)
     return jnp.mean(cost) / pc1.shape[1]

@@ -143,3 +143,69 @@ def test_reference_named_utils(rng):
     np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(sched(15)), 8e-4, rtol=1e-6)
     np.testing.assert_allclose(float(sched(10000)), 5e-5, rtol=1e-6)
+
+
+class TestBlockedEMD:
+    """Memory-bounded EMD (separable-match representation) vs the dense scan."""
+
+    def _clouds(self, rng, n=300, m=150):
+        import jax.numpy as jnp
+
+        x1 = jnp.asarray(rng.normal(size=(2, n, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.normal(size=(2, m, 3)).astype(np.float32))
+        return x1, x2
+
+    def test_cost_matches_dense(self, rng):
+        import importlib
+
+        E = importlib.import_module("mocopci_tpu.ops.emd")
+        x1, x2 = self._clouds(rng)
+        dense = np.asarray(E.earth_mover_distance(x1, x2))
+        blocked = np.asarray(E.earth_mover_distance_blocked(x1, x2))
+        np.testing.assert_allclose(dense, blocked, rtol=1e-4)
+
+    def test_cost_matches_dense_chunked(self, rng):
+        import importlib
+
+        E = importlib.import_module("mocopci_tpu.ops.emd")
+        x1, x2 = self._clouds(rng)
+        dense = np.asarray(E.earth_mover_distance(x1, x2))
+        old = E._EMD_CHUNK
+        try:
+            E._EMD_CHUNK = 64  # force the lax.map query-chunk path
+            blocked = np.asarray(E.earth_mover_distance_blocked(x1, x2))
+        finally:
+            E._EMD_CHUNK = old
+        np.testing.assert_allclose(dense, blocked, rtol=1e-4)
+
+    def test_gradients_match_dense(self, rng):
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+
+        E = importlib.import_module("mocopci_tpu.ops.emd")
+        x1, x2 = self._clouds(rng, 120, 120)
+        g_d = jax.grad(lambda a, b: jnp.sum(E.earth_mover_distance(a, b)), (0, 1))(x1, x2)
+        g_b = jax.grad(
+            lambda a, b: jnp.sum(E.earth_mover_distance_blocked(a, b)), (0, 1)
+        )(x1, x2)
+        for d, b in zip(g_d, g_b):
+            scale = max(1.0, float(np.abs(np.asarray(d)).max()))
+            assert np.abs(np.asarray(d) - np.asarray(b)).max() < 1e-3 * scale
+
+    def test_emd_metric_dispatches_blocked(self, rng, monkeypatch):
+        import importlib
+
+        E = importlib.import_module("mocopci_tpu.ops.emd")
+        # fresh shape each call: jax.jit caches per shape, so the patched
+        # dispatch limit is re-read at trace time
+        x1, x2 = self._clouds(rng, 299, 151)
+        dense = np.asarray(E.emd(x1, x2))
+        monkeypatch.setattr(E, "_EMD_DENSE_LIMIT", 1)  # force blocked dispatch
+        blocked = np.asarray(E.emd(x1[:, :297], x2))
+        dense2 = np.asarray(E.earth_mover_distance(x1[:, :297], x2))
+        np.testing.assert_allclose(
+            blocked, np.mean(dense2) / 297, rtol=1e-4
+        )
+        assert np.isfinite(dense)

@@ -1,8 +1,14 @@
-"""Benchmark: interpolated frame-pairs/sec/chip (the BASELINE.json north star).
+"""Benchmark: interpolated frame-pairs/sec/chip (the BASELINE.json north star),
+plus the training-step and EMD-at-scale numbers the reference's workloads
+exercise (``/root/reference/train.py:124-168``, ``test.py:90``).
 
-Runs the flagship model (8192 points, one-shot 3-frame interpolation) on the
-available accelerator, measures steady-state end-to-end forward latency, and
-prints ONE JSON line.
+Prints ONE JSON line:
+  metric/value/unit/vs_baseline : eval forward throughput, approx-kNN mode
+  forward_ms_b1 / forward_ms_exact_b1 : per-pair forward latency (approx/exact)
+  pairs_per_sec_b2 : batch-2 throughput (batch scaling)
+  train_step_ms_b1 / train_step_ms_b2 : fwd+loss+bwd+AdamW at 8192 pts
+  emd_8192_ms / emd_16384_ms / emd_32768_ms : approx-EMD per pair (blocked
+    path engages above 16M matrix entries)
 
 Baseline note: the reference publishes no absolute numbers (BASELINE.md — the
 README carries only a relative "2× speedup" claim and the runtime-printed
@@ -13,8 +19,11 @@ documented proxy: 10 frame-pairs/sec, i.e. 2× the ~5 pairs/s implied by the
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -23,54 +32,96 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 10.0
 
 
-def main() -> None:
-    from mocopci_tpu.config import ModelConfig
-    from mocopci_tpu.models import MoCoPCI
-    from mocopci_tpu.data import SyntheticInterpolationDataset
+def _sync(x):
+    # scalar probe transfer: block_until_ready does not reliably block
+    # through the axon tunnel
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
-    batch = 1
+
+def _time(fn, *args, iters=10, warmup=3):
+    out = fn(*args)
+    _sync(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    from mocopci_tpu import ops
+    from mocopci_tpu.config import ModelConfig, TrainConfig
+    from mocopci_tpu.data import SyntheticInterpolationDataset
+    from mocopci_tpu.models import MoCoPCI
+
     cfg = ModelConfig()
     model = MoCoPCI(cfg)
-
-    ds = SyntheticInterpolationDataset(length=batch, num_points=cfg.npoints, seed=0)
-    inputs = [ds[i] for i in range(batch)]
-    x1 = jnp.asarray(np.stack([s[0][1] for s in inputs]))
-    x2 = jnp.asarray(np.stack([s[0][2] for s in inputs]))
-
     rng = jax.random.PRNGKey(0)
+
+    ds = SyntheticInterpolationDataset(length=2, num_points=cfg.npoints, seed=0)
+    samples = [ds[i] for i in range(2)]
+    x1 = jnp.asarray(np.stack([s[0][1] for s in samples]))
+    x2 = jnp.asarray(np.stack([s[0][2] for s in samples]))
+    gt = jnp.asarray(np.stack([np.stack(s[1]) for s in samples]))
+
     t0 = time.perf_counter()
     variables = jax.jit(
         lambda a, b: model.init({"params": rng, "dropout": rng}, a, b, train=False)
-    )(x1, x2)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), variables)
+    )(x1[:1], x2[:1])
+    _sync(variables)
     init_s = time.perf_counter() - t0
+    extras = {}
 
-    @jax.jit
-    def forward(variables, x1, x2):
-        out = model.apply(variables, x1, x2, train=False, deterministic=True)["out"]
-        # scalar probe: forces full execution on sync without a bulk transfer
-        # (block_until_ready does not reliably block through the axon tunnel)
-        return out, jnp.sum(out)
+    def forward(variables, a, b):
+        out = model.apply(variables, a, b, train=False, deterministic=True)["out"]
+        return jnp.sum(out)
 
-    t0 = time.perf_counter()
-    _, probe = forward(variables, x1, x2)
-    np.asarray(probe)
-    compile_s = time.perf_counter() - t0
+    fwd = jax.jit(forward)
+    t_fwd = _time(fwd, variables, x1[:1], x2[:1])
+    pairs_per_sec = 1.0 / t_fwd
+    extras["forward_ms_b1"] = round(t_fwd * 1e3, 2)
 
-    # warmup + timed runs
-    for _ in range(3):
-        np.asarray(forward(variables, x1, x2)[1])
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _, probe = forward(variables, x1, x2)
-    np.asarray(probe)
-    elapsed = (time.perf_counter() - t0) / iters
+    t_b2 = _time(fwd, variables, x1, x2)
+    extras["pairs_per_sec_b2"] = round(2.0 / t_b2, 3)
 
-    pairs_per_sec = batch / elapsed
+    # exact-kNN eval latency (parity-grade metric runs use this mode)
+    ops.set_knn_mode("exact")
+    fwd_exact = jax.jit(lambda v, a, b: forward(v, a, b))
+    extras["forward_ms_exact_b1"] = round(_time(fwd_exact, variables, x1[:1], x2[:1]) * 1e3, 2)
+    ops.set_knn_mode("approx")
+
+    # training step: fwd + loss + bwd + AdamW (ref train.py:124-168)
+    from mocopci_tpu.training import create_train_state, train_step
+
+    tcfg = TrainConfig()
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=32)
+    step_rng = jax.random.PRNGKey(1)
+    for B in (1, 2):
+        batch = {"pc1": x1[:B], "pc2": x2[:B], "gt": gt[:B]}
+
+        def one_step(state, batch):
+            new_state, aux = train_step(state, batch, step_rng, cfg, tcfg)
+            return new_state.params, aux["loss"]
+
+        t = _time(jax.jit(one_step, static_argnums=()), state, batch, iters=5, warmup=2)
+        extras[f"train_step_ms_b{B}"] = round(t * 1e3, 1)
+
+    # approx-EMD per pair at eval scale and at the blocked stress sizes
+    emd_fn = jax.jit(lambda a, b: ops.earth_mover_distance(a, b)[0])
+    extras["emd_8192_ms"] = round(_time(emd_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1)
+    r = np.random.default_rng(0)
+    for n in (16384, 32768):
+        a = jnp.asarray(r.normal(size=(1, n, 3)).astype(np.float32))
+        b = jnp.asarray(r.normal(size=(1, n, 3)).astype(np.float32))
+        blocked = jax.jit(lambda a, b: ops.earth_mover_distance_blocked(a, b)[0])
+        extras[f"emd_{n}_ms"] = round(_time(blocked, a, b, iters=3, warmup=1) * 1e3, 1)
+
     print(
-        f"device={jax.devices()[0]} init={init_s:.1f}s compile={compile_s:.1f}s "
-        f"latency={elapsed * 1e3:.2f}ms batch={batch}",
+        f"device={jax.devices()[0]} init={init_s:.1f}s "
+        f"fwd={t_fwd * 1e3:.2f}ms extras={extras}",
         file=sys.stderr,
     )
     print(
@@ -80,6 +131,7 @@ def main() -> None:
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                **extras,
             }
         )
     )

@@ -42,20 +42,29 @@ def _pointconv_core(
 
 
 class PointConv(nn.Module):
-    """Same-resolution PointConv (ref ``mocopci.py:1303-1346``)."""
+    """Same-resolution PointConv (ref ``mocopci.py:1303-1346``).
+
+    ``grouped`` exposes the aggregation core on pre-gathered neighbourhoods so
+    the point-sharded path (``parallel.sp.pointconv_sp``) can run the kNN +
+    gather against an all-gathered reference set per query shard.
+    """
 
     nsample: int
     out_channel: int
     weightnet: int = 8
 
-    @nn.compact
+    def setup(self):
+        self.wn = WeightNet(self.weightnet, name="weightnet")
+        self.linear = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
+
     def __call__(self, xyz, feat):
         """xyz: (B, N, 3); feat: (B, N, D) -> (B, N, out)."""
         idx = ops.knn(self.nsample, xyz, xyz)
         grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
-        wn = WeightNet(self.weightnet, name="weightnet")
-        lin = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
-        return _pointconv_core(wn, lin, xyz, grouped_xyz, grouped_feat)
+        return self.grouped(xyz, grouped_xyz, grouped_feat)
+
+    def grouped(self, query_xyz, grouped_xyz, grouped_feat):
+        return _pointconv_core(self.wn, self.linear, query_xyz, grouped_xyz, grouped_feat)
 
 
 class PointConvD(nn.Module):

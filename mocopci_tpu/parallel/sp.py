@@ -2,11 +2,12 @@
 
 The reference has no sequence/context parallelism (SURVEY.md §5.7) — its point
 counts stay bounded by the FPS pyramid.  For the dense stress configs
-(16k-32k points) the natural TPU extension is sharding the *point* axis over
-the mesh's ``model`` axis: Chamfer/kNN-style reductions are embarrassingly
-parallel over query points (each shard reduces over the full reference set),
-so `shard_map` + a final mean/psum gives linear scaling with zero comms in the
-hot loop.
+(16k-32k points) the natural TPU extension shards the *point* axis over the
+mesh's ``model`` axis: each device owns a query shard and the reference cloud
+(and its features) are all-gathered ONCE per op over ICI — after that single
+collective, the kNN / grouping / reduction work is embarrassingly parallel
+over query points, so the O(N·M) inner loop scales linearly with the axis
+size.  Comms cost per op: one ``all_gather`` of the (B, M/p, C) shard.
 """
 from __future__ import annotations
 
@@ -17,15 +18,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from mocopci_tpu import ops
 from mocopci_tpu.ops.distance import square_distance
 
 
 def chamfer_distance_sp(mesh: Mesh, pc1: jax.Array, pc2: jax.Array) -> jax.Array:
     """Bidirectional Chamfer with the point axis sharded over mesh axis 'model'.
 
-    Both directions shard their query axis; the reference cloud is replicated.
-    Per-shard work is a (N/p, M) min-reduction; the only collective is the
-    final mean (psum of per-shard sums).
+    Both directions shard their query axis; each device all-gathers the other
+    cloud once, then reduces its (B, N/p, M) block locally.  Collectives: two
+    all_gathers up front plus the final psum of per-shard partial sums.
     """
 
     def directed(src, dst):
@@ -50,3 +52,63 @@ def chamfer_distance_sp(mesh: Mesh, pc1: jax.Array, pc2: jax.Array) -> jax.Array
         return jnp.mean(d12 + d21)
 
     return _cham(pc1, pc2)
+
+
+def knn_sp(mesh: Mesh, k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
+    """k-NN with the query point axis sharded over the mesh 'model' axis.
+
+    The reference set is all-gathered once; each shard then runs the local
+    (blocked / fused) kNN against the full reference cloud.  Returns GLOBAL
+    indices into ``ref``, identical to ``ops.knn(k, ref, query)``.
+
+    Args:
+      ref:   (B, M, C) — sharded on points like query (gathered internally).
+      query: (B, N, C) — N must divide by the 'model' axis size.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "model", None), P(None, "model", None)),
+        out_specs=P(None, "model", None),
+        check_vma=False,
+    )
+    def _knn(ref_s, query_s):
+        ref_full = jax.lax.all_gather(ref_s, "model", axis=1, tiled=True)
+        return ops.knn(k, ref_full, query_s)
+
+    return _knn(ref, query)
+
+
+def pointconv_sp(mesh: Mesh, module, variables, xyz: jax.Array, feat: jax.Array):
+    """Same-resolution PointConv forward with the point axis sharded.
+
+    This is the stress-config (16k-32k pts) version of the encoder's grouped
+    conv: queries sharded over 'model', parameters replicated, and the
+    reference cloud + features all-gathered once; the kNN, neighbour gather,
+    WeightNet, and aggregation all run on the local query shard.  Numerically
+    identical to ``module(xyz, feat)`` unsharded.
+
+    Args:
+      module: a ``mocopci_tpu.nn.PointConv`` instance.
+      variables: its (replicated) parameter pytree.
+      xyz: (B, N, 3); feat: (B, N, D) — N divisible by the 'model' axis size.
+    Returns:
+      (B, N, out) sharded like the inputs.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, "model", None), P(None, "model", None)),
+        out_specs=P(None, "model", None),
+        check_vma=False,
+    )
+    def _apply(v, xyz_s, feat_s):
+        xyz_full = jax.lax.all_gather(xyz_s, "model", axis=1, tiled=True)
+        feat_full = jax.lax.all_gather(feat_s, "model", axis=1, tiled=True)
+        idx = ops.knn(module.nsample, xyz_full, xyz_s)
+        gx, gf = ops.group_multi(idx, xyz_full, feat_full)
+        return module.apply(v, xyz_s, gx, gf, method="grouped")
+
+    return _apply(variables, xyz, feat)

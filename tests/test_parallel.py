@@ -79,3 +79,86 @@ def test_sp_chamfer_matches_dense():
     want = float(ops.chamfer_distance(a, b))
     got = float(chamfer_distance_sp(mesh, a, b))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sp_knn_matches_dense():
+    """Point-sharded kNN returns the same neighbour sets as the dense op.
+
+    Near-equal distances can swap *order* between the two programs (different
+    matmul fusion = different rounding), so sets and sorted neighbour
+    distances are compared, which is what every consumer depends on.
+    """
+    from mocopci_tpu import ops
+    from mocopci_tpu.parallel.sp import knn_sp
+
+    rngn = np.random.default_rng(5)
+    xyz = jnp.asarray(rngn.normal(size=(2, 512, 3)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    idx_sp = np.asarray(knn_sp(mesh, 8, xyz, xyz))
+    idx = np.asarray(ops.knn(8, xyz, xyz))
+    d = np.asarray(ops.square_distance(xyz, xyz))
+    ds_sp = np.sort(np.take_along_axis(d, idx_sp, -1), -1)
+    ds = np.sort(np.take_along_axis(d, idx, -1), -1)
+    np.testing.assert_allclose(ds_sp, ds, rtol=1e-5, atol=1e-6)
+
+
+def test_sp_pointconv_matches_dense():
+    """Point-sharded PointConv == unsharded module output (same weights)."""
+    from mocopci_tpu.nn import PointConv
+    from mocopci_tpu.parallel.sp import pointconv_sp
+
+    rngn = np.random.default_rng(6)
+    xyz = jnp.asarray(rngn.normal(size=(2, 512, 3)).astype(np.float32))
+    feat = jnp.asarray(rngn.normal(size=(2, 512, 16)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    pc = PointConv(nsample=8, out_channel=32)
+    v = pc.init(jax.random.PRNGKey(0), xyz, feat)
+    dense = np.asarray(pc.apply(v, xyz, feat))
+    sp = np.asarray(pointconv_sp(mesh, pc, v, xyz, feat))
+    # neighbour sets are identical (see test above); residual differences are
+    # low-precision matmul accumulation under neighbour permutation
+    scale = np.abs(dense).mean()
+    assert np.abs(dense - sp).mean() < 2e-2 * scale
+
+
+def test_sp_pointconv_16k_stress():
+    """BASELINE dense-stress band: 16k-point point-sharded grouped conv runs
+    and stays finite on the virtual mesh (CPU wall-clock keeps this at 16k;
+    the 32k variant is the opt-in test below)."""
+    from mocopci_tpu.nn import PointConv
+    from mocopci_tpu.parallel.sp import pointconv_sp
+
+    rngn = np.random.default_rng(7)
+    n = 16384
+    xyz = jnp.asarray(rngn.normal(size=(1, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rngn.normal(size=(1, n, 4)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    pc = PointConv(nsample=8, out_channel=8)
+    v = pc.init(jax.random.PRNGKey(0), xyz[:, :64], feat[:, :64])
+    out = np.asarray(pointconv_sp(mesh, pc, v, xyz, feat))
+    assert out.shape == (1, n, 8)
+    assert np.isfinite(out).all()
+
+
+def test_sp_pointconv_32k_stress():
+    """Full 32k stress config (BASELINE config 5), opt-in: ~20 min on the
+    virtual CPU mesh (the CPU row sort dominates; on real chips the fused
+    Pallas kNN path runs instead).  RUN_STRESS=1 enables it."""
+    import os
+    import pytest
+
+    if not os.environ.get("RUN_STRESS"):
+        pytest.skip("set RUN_STRESS=1 to run the 32k point-sharded forward")
+    from mocopci_tpu.nn import PointConv
+    from mocopci_tpu.parallel.sp import pointconv_sp
+
+    rngn = np.random.default_rng(8)
+    n = 32768
+    xyz = jnp.asarray(rngn.normal(size=(1, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rngn.normal(size=(1, n, 4)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    pc = PointConv(nsample=8, out_channel=8)
+    v = pc.init(jax.random.PRNGKey(0), xyz[:, :64], feat[:, :64])
+    out = np.asarray(pointconv_sp(mesh, pc, v, xyz, feat))
+    assert out.shape == (1, n, 8)
+    assert np.isfinite(out).all()

@@ -17,10 +17,19 @@ Algorithm (per query tile of TQ rows):
      ``bins[q, j] = min over tiles of key[q, j]`` (one VPU pass per tile) —
      the same candidate structure the TPU PartialReduce unit produces
      (``aggregate_to_topk=False``);
-  3. after the last tile, extract the k smallest keys by iterative
-     min-extraction — with packed keys each extraction is one min-reduce plus
-     one masked update (keys are unique by construction), ~3 VPU passes
-     instead of the ~7 a separate value/index pair costs.
+  3. after the last tile, fold the TR bin columns into per-lane-column top-3
+     survivors (pure elementwise mins/maskings across TR/128 slabs — no lane
+     crossing), then extract the k smallest keys from the (TQ, 384) candidate
+     set by iterative min-extraction — with packed keys each extraction is one
+     min-reduce plus one masked update (keys are unique by construction).  The
+     fold cuts the extraction working set ~2.7x; it can only lose a neighbour
+     when >= 4 of the true top-k collide in one column mod 128 (measured
+     overlap vs the unfolded extraction: 0.9998 at 8192^2/k=32).
+
+For small point dimensionality (C <= 8, i.e. xyz) the distance tile is
+computed as an explicit sum of squared differences on the VPU — a (TQ, C)
+x (C, TR) MXU contraction pads C to the systolic width and runs 6 passes at
+HIGHEST precision, which is slower than 3C elementwise ops.
 
 Accuracy: like ``lax.approx_min_k`` this is approximate when M > TR — a true
 neighbour is lost only if a *closer* point lands in the same bin column.
@@ -57,22 +66,31 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
     def _init():
         bins[:, :] = jnp.full((TQ, TR), 0x7FFFFFFF, jnp.int32)
 
-    # distance tile: one MXU contraction.  Precision HIGHEST: the default bf16
-    # MXU pass gives ~1e-1 absolute error on squared distances, enough to
-    # reorder neighbours (see ops/distance.py).
     q = q_ref[0]
-    dot = lax.dot_general(
-        q,
-        r_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
-    if metric == "euclidean":
-        qn = jnp.sum(q * q, axis=-1, keepdims=True)            # (TQ, 1)
-        d = qn + rn_ref[0] - 2.0 * dot
+    C = q.shape[-1]
+    if metric == "euclidean" and C <= 8:
+        # xyz-scale C: explicit expansion on the VPU beats a padded MXU pass
+        r = r_ref[0]
+        d = jnp.zeros((TQ, TR), jnp.float32)
+        for c in range(C):
+            diff = q[:, c : c + 1] - r[:, c][None, :]
+            d = d + diff * diff
     else:
-        d = 1.0 - dot
+        # distance tile: one MXU contraction.  Precision HIGHEST: the default
+        # bf16 MXU pass gives ~1e-1 absolute error on squared distances,
+        # enough to reorder neighbours (see ops/distance.py).
+        dot = lax.dot_general(
+            q,
+            r_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        if metric == "euclidean":
+            qn = jnp.sum(q * q, axis=-1, keepdims=True)        # (TQ, 1)
+            d = qn + rn_ref[0] - 2.0 * dot
+        else:
+            d = 1.0 - dot
     # d >= 0 mathematically, so its f32 bit pattern is order-preserving under
     # signed int compare.  fp rounding can make a true-zero distance slightly
     # negative; its bit pattern then sorts *first*, which is still correct
@@ -90,17 +108,39 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
     def _select():
         kpad = out_ref.shape[-1]
         out_col = lax.broadcasted_iota(jnp.int32, (TQ, kpad), dimension=1)
+        INF = jnp.int32(0x7FFFFFFF)
+
+        S = TR // 128
+        if S >= 4 and 3 * 128 >= k:
+            # fold S slabs of 128 columns into per-column top-3 survivors:
+            # elementwise across slabs, no lane crossing.  A neighbour is
+            # lost only when >= 4 of the top-k collide in one column mod 128.
+            slabs = [bins[:, s * 128 : (s + 1) * 128] for s in range(S)]
+            m1 = slabs[0]
+            for s in slabs[1:]:
+                m1 = jnp.minimum(m1, s)
+            rest = [jnp.where(s == m1, INF, s) for s in slabs]
+            m2 = rest[0]
+            for s in rest[1:]:
+                m2 = jnp.minimum(m2, s)
+            rest = [jnp.where(s == m2, INF, s) for s in rest]
+            m3 = rest[0]
+            for s in rest[1:]:
+                m3 = jnp.minimum(m3, s)
+            cand = jnp.concatenate([m1, m2, m3], axis=1)       # (TQ, 384)
+        else:
+            cand = bins[:, :]
 
         def body(i, carry):
             b, out = carry
             m = jnp.min(b, axis=1, keepdims=True)              # (TQ, 1)
             picked = m & idx_mask
             out = jnp.where(out_col == i, picked, out)
-            b = jnp.where(b == m, jnp.int32(0x7FFFFFFF), b)    # keys are unique
+            b = jnp.where(b == m, INF, b)                      # keys are unique
             return b, out
 
         out0 = jnp.zeros((TQ, kpad), jnp.int32)
-        _, out = lax.fori_loop(0, k, body, (bins[:, :], out0))
+        _, out = lax.fori_loop(0, k, body, (cand, out0))
         out_ref[0] = out
 
 

@@ -53,3 +53,55 @@ def test_pallas_select_min_k_interpret(rng):
     order = np.argsort(vals, axis=-1, kind="stable")[..., :5]
     want = np.take_along_axis(idxs, order, axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def _exact_knn(q, ref, k, metric="euclidean"):
+    if metric == "euclidean":
+        d = np.sum((q[:, :, None, :] - ref[:, None, :, :]) ** 2, -1)
+    else:
+        qn = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        rn = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
+        d = 1.0 - np.einsum("bnc,bmc->bnm", qn, rn)
+    return np.argsort(d, axis=-1)[..., :k]
+
+
+def test_fused_knn_pallas_exact_small_m(rng):
+    # M <= TR and < 4 slabs: no fold, one column per ref point -> exact
+    from mocopci_tpu.ops.pallas.knn import fused_knn_pallas
+
+    q = rng.normal(size=(2, 70, 3)).astype(np.float32)
+    ref = rng.normal(size=(2, 40, 3)).astype(np.float32)
+    got = np.asarray(fused_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 6,
+                                      interpret=True))
+    want = _exact_knn(q, ref, 6)
+    for b in range(2):
+        for n in range(70):
+            assert set(got[b, n]) == set(want[b, n])
+
+
+def test_fused_knn_pallas_fold3_recall(rng):
+    # M > TR engages streaming + the fold3 extraction; require high recall
+    from mocopci_tpu.ops.pallas.knn import fused_knn_pallas
+
+    q = rng.normal(size=(1, 64, 3)).astype(np.float32)
+    ref = rng.normal(size=(1, 1500, 3)).astype(np.float32)
+    got = np.asarray(fused_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 8,
+                                      tr=1024, interpret=True))
+    want = _exact_knn(q, ref, 8)
+    hits = sum(len(set(got[0, n]) & set(want[0, n])) for n in range(64))
+    assert hits / (64 * 8) > 0.97
+
+
+def test_fused_knn_pallas_cosine_mxu_path(rng):
+    # C > 8 takes the MXU contraction path; cosine metric
+    from mocopci_tpu.ops.pallas.knn import fused_knn_pallas
+
+    feats_q = rng.normal(size=(1, 50, 32)).astype(np.float32)
+    feats_r = rng.normal(size=(1, 60, 32)).astype(np.float32)
+    qn = feats_q / (np.linalg.norm(feats_q, axis=-1, keepdims=True) + 1e-8)
+    rn = feats_r / (np.linalg.norm(feats_r, axis=-1, keepdims=True) + 1e-8)
+    got = np.asarray(fused_knn_pallas(jnp.asarray(qn), jnp.asarray(rn), 5,
+                                      "cosine", interpret=True))
+    want = _exact_knn(feats_q, feats_r, 5, "cosine")
+    for n in range(50):
+        assert set(got[0, n]) == set(want[0, n])

@@ -326,13 +326,54 @@ class MultiFrameEstimator(nn.Module):
         dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
         h = jnp.concatenate([resi, dist], axis=-1)             # (FB,N,2k,4)
         fb = h.shape[0]
-        for dense, bn in zip(self.fusion_dense, self.fusion_bn):
-            h = dense(h)
-            h = h.reshape((n_groups, fb // n_groups) + h.shape[1:])
-            h = bn(h, train)
-            h = h.reshape((fb,) + h.shape[2:])
-            h = nn.relu(h)
-        h = jnp.max(h, axis=-1)                                # max over channels
+        if train:
+            for dense, bn in zip(self.fusion_dense, self.fusion_bn):
+                h = dense(h)
+                h = h.reshape((n_groups, fb // n_groups) + h.shape[1:])
+                h = bn(h, train)
+                h = h.reshape((fb,) + h.shape[2:])
+                h = nn.relu(h)
+            h = jnp.max(h, axis=-1)                            # max over channels
+        else:
+            # eval: fold the (running-stats) BatchNorms into the dense layers
+            # and run the whole pair-MLP + channel-max as one Pallas kernel —
+            # the dense program materializes (FB, N, 2k, 64..128) activations
+            # in HBM (ops/pallas/fusion_head.py).  The tiny dummy pass keeps
+            # the module's parameter/stat creation identical to the train path.
+            from mocopci_tpu.ops.pallas.fusion_head import (
+                fold_bn_dense,
+                fusion_head_pallas,
+            )
+
+            hd = h[:1, :1, :1]
+            folded = []
+            for dense, bn in zip(self.fusion_dense, self.fusion_bn):
+                hd = nn.relu(bn(dense(hd), False))
+                dv = dense.variables["params"]
+                bp = bn.variables["params"]
+                bs = bn.variables["batch_stats"]
+                folded.extend(
+                    fold_bn_dense(
+                        dv["kernel"].astype(jnp.float32),
+                        dv["bias"].astype(jnp.float32),
+                        bp["scale"], bp["bias"], bs["mean"], bs["var"], bn.eps,
+                    )
+                )
+            x_pairs = h.astype(jnp.float32).reshape(fb, -1, 4)
+
+            def tpu_path(x, *wb):
+                return fusion_head_pallas(x, *wb)
+
+            def default_path(x, *wb):
+                hh = x
+                for i in range(0, len(wb), 2):
+                    hh = nn.relu(hh @ wb[i] + wb[i + 1])
+                return jnp.max(hh, axis=-1)
+
+            h = jax.lax.platform_dependent(
+                x_pairs, *folded, tpu=tpu_path, default=default_path
+            )
+            h = h.reshape(fb, points1.shape[1], -1)            # (FB, N, 2k)
         # blend weights and positions in f32 (coordinate precision)
         w = jax.nn.softmax(h.astype(jnp.float32), axis=-1)     # softmax over 2k
         return jnp.sum(w[..., None] * neighbor, axis=2)        # (FB,N,3)

@@ -162,3 +162,18 @@ def test_sp_pointconv_32k_stress():
     out = np.asarray(pointconv_sp(mesh, pc, v, xyz, feat))
     assert out.shape == (1, n, 8)
     assert np.isfinite(out).all()
+
+
+def test_sp_upsample_matches_dense():
+    """Point-sharded 3-NN upsample == dense op (queries sharded over 'model')."""
+    from mocopci_tpu import ops
+    from mocopci_tpu.parallel.sp import upsample_sp
+
+    rngn = np.random.default_rng(9)
+    dense = jnp.asarray(rngn.normal(size=(2, 256, 3)).astype(np.float32))
+    sparse = jnp.asarray(rngn.normal(size=(2, 64, 3)).astype(np.float32))
+    feat = jnp.asarray(rngn.normal(size=(2, 64, 5)).astype(np.float32))
+    mesh = make_mesh(n_data=2, n_model=4)
+    want = np.asarray(ops.upsample(dense, sparse, feat))
+    got = np.asarray(upsample_sp(mesh, dense, sparse, feat))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

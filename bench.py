@@ -109,6 +109,29 @@ def main() -> None:
         t = _time(jax.jit(one_step, static_argnums=()), state, batch, iters=5, warmup=2)
         extras[f"train_step_ms_b{B}"] = round(t * 1e3, 1)
 
+    # dense-stress forwards (BASELINE config 5): blocked kNN / chunked
+    # attention engage automatically at these sizes
+    from mocopci_tpu.config import stress_model_config
+
+    for n in (16384, 32768):
+        scfg = stress_model_config(n)
+        smodel = MoCoPCI(scfg)
+        sx1 = jnp.asarray(np.asarray(x1[:1, :1]) * np.ones((1, n, 1), np.float32)
+                          + np.random.default_rng(n).normal(
+                              size=(1, n, 3)).astype(np.float32) * 10.0)
+        sx2 = sx1 + 0.05
+        svars = jax.jit(
+            lambda a, b: smodel.init({"params": rng, "dropout": rng}, a, b, train=False)
+        )(sx1, sx2)
+        sfwd = jax.jit(
+            lambda v, a, b: jnp.sum(
+                smodel.apply(v, a, b, train=False, deterministic=True)["out"]
+            )
+        )
+        extras[f"forward_ms_{n}"] = round(
+            _time(sfwd, svars, sx1, sx2, iters=3, warmup=1) * 1e3, 1
+        )
+
     # approx-EMD per pair at eval scale and at the blocked stress sizes
     emd_fn = jax.jit(lambda a, b: ops.earth_mover_distance(a, b)[0])
     extras["emd_8192_ms"] = round(_time(emd_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1)

@@ -120,6 +120,20 @@ class TrainConfig:
     w_multi: float = 0.25
 
 
+def stress_model_config(npoints: int) -> ModelConfig:
+    """Dense-stress configuration (BASELINE config 5: 16k-32k points/frame).
+
+    Scales the FPS pyramid with the reference's 8192-point ratios
+    (/4, /16, /32, /128).  At these sizes the blocked kNN, chunked attention,
+    and memory-bounded EMD paths engage automatically.
+    """
+    return ModelConfig(
+        npoints=npoints,
+        pyramid=(npoints // 4, npoints // 16, npoints // 32, npoints // 128),
+        refine_npoint=npoints // 4,
+    )
+
+
 def tiny_model_config(npoints: int = 256) -> ModelConfig:
     """A small config with the same structure, for tests and CPU dry runs."""
     return ModelConfig(

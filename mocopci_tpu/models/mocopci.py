@@ -321,12 +321,12 @@ class MultiFrameEstimator(nn.Module):
         idx_cross = ops.knn(k, points2, points1)
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
         neighbor = ops.group(points2, idx)                     # (FB,N,2k,3)
-        resi = neighbor - points1[:, :, None, :]
-        # safe sqrt: zero-distance neighbours would give NaN grads otherwise
-        dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
-        h = jnp.concatenate([resi, dist], axis=-1)             # (FB,N,2k,4)
-        fb = h.shape[0]
+        fb, n, k2 = neighbor.shape[:3]
         if train:
+            resi = neighbor - points1[:, :, None, :]
+            # safe sqrt: zero-distance neighbours would give NaN grads otherwise
+            dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
+            h = jnp.concatenate([resi, dist], axis=-1)         # (FB,N,2k,4)
             for dense, bn in zip(self.fusion_dense, self.fusion_bn):
                 h = dense(h)
                 h = h.reshape((n_groups, fb // n_groups) + h.shape[1:])
@@ -334,6 +334,9 @@ class MultiFrameEstimator(nn.Module):
                 h = h.reshape((fb,) + h.shape[2:])
                 h = nn.relu(h)
             h = jnp.max(h, axis=-1)                            # max over channels
+            # blend weights and positions in f32 (coordinate precision)
+            w = jax.nn.softmax(h.astype(jnp.float32), axis=-1)
+            return jnp.sum(w[..., None] * neighbor, axis=2)    # (FB,N,3)
         else:
             # eval: fold the (running-stats) BatchNorms into the dense layers
             # and run the whole pair-MLP + channel-max as one Pallas kernel —
@@ -345,7 +348,7 @@ class MultiFrameEstimator(nn.Module):
                 fusion_head_pallas,
             )
 
-            hd = h[:1, :1, :1]
+            hd = jnp.zeros((1, 1, 1, 4), jnp.float32)
             folded = []
             for dense, bn in zip(self.fusion_dense, self.fusion_bn):
                 hd = nn.relu(bn(dense(hd), False))
@@ -359,7 +362,19 @@ class MultiFrameEstimator(nn.Module):
                         bp["scale"], bp["bias"], bs["mean"], bs["var"], bn.eps,
                     )
                 )
-            x_pairs = h.astype(jnp.float32).reshape(fb, -1, 4)
+            # the whole eval head runs TRANSPOSED: one relayout of the gather
+            # output to (FB, 3, N·2k) planes, then every pass is lane-dense —
+            # a pairs-minor (.., 3/4) layout pads each lane tile 3/128 and the
+            # resi/dist/blend passes cost ~30x their bytes (measured)
+            n_t = neighbor.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
+                fb, 3, n * k2
+            )
+            p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
+            resi_t = n_t - jnp.repeat(p1_t, k2, axis=-1).reshape(fb, 3, n * k2)
+            dist_t = jnp.sqrt(
+                jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
+            )
+            x_planes = jnp.concatenate([resi_t, dist_t], axis=1)  # (FB,4,N·2k)
 
             def tpu_path(x, *wb):
                 return fusion_head_pallas(x, *wb)
@@ -367,16 +382,23 @@ class MultiFrameEstimator(nn.Module):
             def default_path(x, *wb):
                 hh = x
                 for i in range(0, len(wb), 2):
-                    hh = nn.relu(hh @ wb[i] + wb[i + 1])
-                return jnp.max(hh, axis=-1)
+                    hh = jnp.maximum(
+                        jnp.einsum("gcp,cd->gdp", hh, wb[i]) + wb[i + 1][:, None],
+                        0.0,
+                    )
+                return jnp.max(hh, axis=1)
 
             h = jax.lax.platform_dependent(
-                x_pairs, *folded, tpu=tpu_path, default=default_path
+                x_planes, *folded, tpu=tpu_path, default=default_path
             )
-            h = h.reshape(fb, points1.shape[1], -1)            # (FB, N, 2k)
-        # blend weights and positions in f32 (coordinate precision)
-        w = jax.nn.softmax(h.astype(jnp.float32), axis=-1)     # softmax over 2k
-        return jnp.sum(w[..., None] * neighbor, axis=2)        # (FB,N,3)
+            w = jax.nn.softmax(h.reshape(fb, n, k2), axis=-1)  # (FB,N,2k)
+            # softmax weights sum to 1, so Σ w·neighbor = p1 + Σ w·resi —
+            # the blend stays on the wide resi planes (no narrow-lane pass)
+            blend = jnp.einsum(
+                "bnk,bcnk->bnc", w, resi_t.reshape(fb, 3, n, k2),
+                preferred_element_type=jnp.float32,
+            )
+            return points1.astype(jnp.float32) + blend         # (FB,N,3)
 
     def _refine(self, feat0, base_pc, up_flow, train):
         """Full-res compensation head (ref ``mocopci.py:1017-1038``)."""

@@ -4,9 +4,15 @@ The fusion head scores every (query, neighbour) pair with a 3-layer MLP
 (4 -> 64 -> 64 -> 128, BN + ReLU) followed by a max over channels.  The dense
 XLA program materializes each (F·B, N, 2k, C) activation in HBM — ~400-800 MB
 per layer at 8192 points — for ~40 GFLOP of MXU work, i.e. it is purely
-HBM-bound.  This kernel streams row tiles of the flattened (F·B·N·2k, 4)
-pair-feature matrix through VMEM: the only HBM traffic is the 4-wide input
-and the 1-wide channel-max output.
+HBM-bound.
+
+Layout: everything runs TRANSPOSED, (channels, pairs), so the huge pair axis
+always sits on lanes at full 128-wide occupancy.  The caller provides the
+pair features as four stacked planes ``(G, 4, P)`` (one XLA relayout of the
+18 MB resi/dist tensor — a pairs-minor ``(G, P, 4)`` layout would pad every
+lane tile 4/128 and turn each pass into 32x the traffic, measured as a 14 ms
+regression).  Weights multiply from the left on the MXU; the channel max is a
+cheap sublane reduction; the output is a dense ``(G, P)`` logits row.
 
 Eval-only: BatchNorm running statistics are folded into the dense weights by
 the caller (`fold_bn_dense`); the training path keeps the dense XLA program
@@ -39,20 +45,21 @@ def fold_bn_dense(kernel, bias, scale, bn_bias, mean, var, eps):
 
 
 def _head_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
-    x = x_ref[0]                                            # (R, 4)
+    x = x_ref[0]                                            # (4, R)
 
-    def dense_relu(h, w_ref, b_ref):
+    def dense_relu_t(h, w_ref, b_ref):
+        # h: (Cin, R); w: (Cin, Cout); b: (Cout, 1) -> (Cout, R)
         h = lax.dot_general(
-            h, w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            w_ref[:], h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return jnp.maximum(h + b_ref[:], 0.0)
 
-    h = dense_relu(x, w1_ref, b1_ref)                       # (R, C1)
-    h = dense_relu(h, w2_ref, b2_ref)                       # (R, C1)
-    h = dense_relu(h, w3_ref, b3_ref)                       # (R, C2)
-    out_ref[0] = jnp.max(h, axis=1, keepdims=True)          # (R, 1)
+    h = dense_relu_t(x, w1_ref, b1_ref)                     # (C1, R)
+    h = dense_relu_t(h, w2_ref, b2_ref)                     # (C1, R)
+    h = dense_relu_t(h, w3_ref, b3_ref)                     # (C2, R)
+    out_ref[0] = jnp.max(h, axis=0, keepdims=True)          # (1, R)
 
 
 @functools.partial(jax.jit, static_argnums=(7,))
@@ -63,20 +70,22 @@ def fusion_head_pallas(
     w3: jax.Array, b3: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-pair MLP + channel max with VMEM-resident activations.
+    """Per-pair MLP + channel max with VMEM-resident transposed activations.
 
     Args:
-      x: (G, P, 4) f32 — pair features [resi_xyz, dist], P = N·2k rows.
-      w1/b1, w2/b2, w3/b3: BN-folded dense parameters (see `fold_bn_dense`).
+      x: (G, 4, P) f32 — pair-feature planes [resi_x, resi_y, resi_z, dist],
+        P = N·2k pairs on lanes.
+      w1/b1, w2/b2, w3/b3: BN-folded dense parameters (see `fold_bn_dense`),
+        wi of shape (Cin, Cout).
     Returns:
       (G, P) f32 — max over the last MLP layer's channels per pair.
     """
-    G, P, F = x.shape
-    R = min(4096, _round_up(P, 8))
+    G, F, P = x.shape
+    R = min(8192, _round_up(P, 128))
     ppad = _round_up(P, R)
-    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, ppad - P), (0, 0)))
-    args = [w.astype(jnp.float32) for w in (w1, w2, w3)]
-    biases = [b.astype(jnp.float32).reshape(1, -1) for b in (b1, b2, b3)]
+    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, ppad - P)))
+    ws = [w.astype(jnp.float32) for w in (w1, w2, w3)]
+    biases = [b.astype(jnp.float32).reshape(-1, 1) for b in (b1, b2, b3)]
 
     full = lambda *s: pl.BlockSpec(s, lambda g, t: (0,) * len(s),
                                    memory_space=pltpu.VMEM)
@@ -84,15 +93,15 @@ def fusion_head_pallas(
         _head_kernel,
         grid=(G, ppad // R),
         in_specs=[
-            pl.BlockSpec((1, R, F), lambda g, t: (g, t, 0),
+            pl.BlockSpec((1, F, R), lambda g, t: (g, 0, t),
                          memory_space=pltpu.VMEM),
-            full(*args[0].shape), full(*biases[0].shape),
-            full(*args[1].shape), full(*biases[1].shape),
-            full(*args[2].shape), full(*biases[2].shape),
+            full(*ws[0].shape), full(*biases[0].shape),
+            full(*ws[1].shape), full(*biases[1].shape),
+            full(*ws[2].shape), full(*biases[2].shape),
         ],
-        out_specs=pl.BlockSpec((1, R, 1), lambda g, t: (g, t, 0),
+        out_specs=pl.BlockSpec((1, 1, R), lambda g, t: (g, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, ppad, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, 1, ppad), jnp.float32),
         interpret=interpret,
-    )(x, args[0], biases[0], args[1], biases[1], args[2], biases[2])
-    return out[:, :P, 0]
+    )(x, ws[0], biases[0], ws[1], biases[1], ws[2], biases[2])
+    return out[:, 0, :P]

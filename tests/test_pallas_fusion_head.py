@@ -21,7 +21,8 @@ def test_fusion_head_matches_dense(rng):
         pairs.append((rng.normal(size=(a, b)).astype(np.float32) * 0.3,
                       rng.normal(size=(b,)).astype(np.float32) * 0.1))
     flat = [jnp.asarray(t) for pair in pairs for t in pair]
-    got = np.asarray(fusion_head_pallas(jnp.asarray(x), *flat, interpret=True))
+    xt = jnp.asarray(x.transpose(0, 2, 1))                  # (G, 4, P) planes
+    got = np.asarray(fusion_head_pallas(xt, *flat, interpret=True))
     want = _mlp_max(x, pairs)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 

@@ -93,7 +93,16 @@ def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     """
     B, N, C = points.shape
     off = jnp.arange(B, dtype=jnp.int32).reshape((B,) + (1,) * (idx.ndim - 1)) * N
-    flat = jnp.take(points.reshape(B * N, C), (idx + off).reshape(-1), axis=0)
+    # indices come from kNN / FPS / 3-NN selection and are in bounds by
+    # construction; the default fill mode appends a select_n pass over the
+    # whole gathered tensor (measured at ~0.6 ms per big gather on v5e) —
+    # clip mode clamps the (small) index vector instead
+    flat = jnp.take(
+        points.reshape(B * N, C),
+        (idx + off).reshape(-1),
+        axis=0,
+        mode="clip",
+    )
     return flat.reshape(idx.shape + (C,))
 
 

@@ -62,11 +62,21 @@ def _cross_core(
     points2: jax.Array,
     idx: jax.Array,
 ) -> jax.Array:
-    """Shared grouped-correlation body: gather, pos-encode, MLP, max-pool."""
-    neighbor_xyz, g2 = ops.group_multi(idx, xyz2, points2)    # (B,N1,2k,3/D)
-    direction = neighbor_xyz - xyz1[:, :, None, :]
+    """Shared grouped-correlation body: gather, pos-encode, MLP, max-pool.
+
+    The position encoding is linear, so ``pos(neighbor − x1) = pos(neighbor)
+    − pos(x1) + bias``: computing ``pos`` on the reference cloud FIRST and
+    gathering the encoded rows (same row count, wider rows — TPU gathers are
+    row-rate bound) eliminates the (B, N1, 2k, 3) direction tensor, whose
+    3/128-lane layout made the subtract and the pos matmul cost ~30x their
+    bytes on v5e.
+    """
+    pos2 = pos(xyz2)                                          # (B,M,C) with bias
+    pos_g, g2 = ops.group_multi(idx, pos2.astype(jnp.float32), points2)
+    bias = pos.variables["params"]["bias"]
+    pos_dir = pos_g - (pos(xyz1) - bias)[:, :, None, :].astype(jnp.float32)
     g1 = points1[:, :, None, :]                               # broadcast over k
-    x = nn.leaky_relu(g2 + g1 + pos(direction).astype(g2.dtype), LEAKY_RATE)
+    x = nn.leaky_relu(g2 + g1 + pos_dir.astype(g2.dtype), LEAKY_RATE)
     for layer in mlp:
         x = layer(x)
     return jnp.max(x, axis=2)                                 # (B,N1,C)

@@ -26,8 +26,31 @@ from mocopci_tpu.ops.distance import square_distance
 
 
 def _directed_min(src: jax.Array, dst: jax.Array) -> jax.Array:
-    """min over dst of squared distance, per src point: (B, N)."""
-    return jnp.min(square_distance(src, dst), axis=-1)
+    """min over dst of squared distance, per src point: (B, N).
+
+    On TPU this runs as a 1-NN query through the fused Pallas kNN kernel
+    (exact at k=1 — a bin always keeps its minimum) plus a row gather, then
+    recomputes the distance exactly from the matched pair: the dense
+    (B, N, M) matrix + min/argmin reduction cost ~3.5 ms per direction at
+    8192² in the training loss, the 1-NN form ~1 ms, and autodiff through
+    the gather reproduces the same argmin subgradient as min().
+    """
+
+    def nn_path(src, dst):
+        from mocopci_tpu.ops.pallas.knn import fused_knn_pallas
+        from mocopci_tpu.ops.sampling import gather
+
+        idx = fused_knn_pallas(
+            lax.stop_gradient(src), lax.stop_gradient(dst), 1
+        )[..., 0]                                              # (B, N)
+        nearest = gather(dst, idx)                             # (B, N, 3)
+        diff = src - nearest
+        return jnp.sum(diff * diff, axis=-1)
+
+    def dense_path(src, dst):
+        return jnp.min(square_distance(src, dst), axis=-1)
+
+    return lax.platform_dependent(src, dst, tpu=nn_path, default=dense_path)
 
 
 @jax.jit

@@ -38,6 +38,51 @@ from mocopci_tpu.nn.basic import (
 _DENSE_ATTN_LIMIT = 8 * 1024 * 1024
 
 
+def _sdpa_train(q, k, v, scale, rate, seed):
+    """Training-path attention with dropout on the softmax matrix.
+
+    Flash-style Pallas forward + custom-VJP backward with the dropout mask
+    regenerated in-kernel (ops/pallas/attention_train.py) — the dense program
+    materializes the (B, F, H, N, M) logits, mask, and their backward in HBM.
+    Layout matches ``_fused_sdpa``: (..., N, H, D).  The mask stream is a
+    counter hash, statistically identical to flax Dropout but not bit-equal.
+    """
+    from mocopci_tpu.ops.pallas.attention_train import attention_train
+
+    lead = q.shape[:-3]
+    N, H, D = q.shape[-3:]
+    M = k.shape[-3]
+
+    def to_g(x, L):
+        x = jnp.moveaxis(x, -2, -3)                    # (..., H, L, D)
+        return x.reshape((-1, L, D))
+
+    out = attention_train(
+        to_g(q, N).astype(jnp.float32),
+        to_g(k, M).astype(jnp.float32),
+        to_g(v, M).astype(jnp.float32),
+        seed, scale, rate,
+    )
+    out = out.reshape(lead + (H, N, D))
+    return jnp.moveaxis(out, -3, -2)                   # (..., N, H, D)
+
+
+def _dropout_seed(module, rate):
+    """int32 seed for the in-kernel dropout stream (0 when unused)."""
+    if rate <= 0.0:
+        return jnp.zeros((), jnp.int32)
+    return jax.random.randint(
+        module.make_rng("dropout"), (), -(2 ** 31), 2 ** 31 - 1, jnp.int32
+    )
+
+
+def _use_fused_train_attention(m: int) -> bool:
+    """Trace-time dispatch: the custom-VJP kernel needs a TPU backend."""
+    from mocopci_tpu.ops.pallas.attention import MAX_SEQ
+
+    return jax.default_backend() == "tpu" and m <= MAX_SEQ
+
+
 def _fused_sdpa(q, k, v, scale):
     """Deterministic softmax attention, (..., N, H, D) layout.
 
@@ -129,6 +174,10 @@ class CrossAttention(nn.Module):
 
         if deterministic and N <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, N, C)
+        elif _use_fused_train_attention(N):
+            out = _sdpa_train(
+                q, k, v, hd ** -0.5, self.drop, _dropout_seed(self, self.drop)
+            ).reshape(B, N, C)
         else:
             # logits accumulate in f32; softmax in f32; dropout needs the matrix
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -234,6 +283,12 @@ class CrossFrameBlock(nn.Module):
         if deterministic and N <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, C ** -0.5)       # (B, F, N, H, C)
             out = jnp.sum(out, axis=1).transpose(0, 2, 1, 3)  # (B, H, N, C)
+        elif _use_fused_train_attention(N):
+            out = _sdpa_train(
+                q, k, v, C ** -0.5, self.attn_drop,
+                _dropout_seed(self, self.attn_drop),
+            )                                           # (B, F, N, H, C)
+            out = jnp.sum(out, axis=1).transpose(0, 2, 1, 3)  # (B, H, N, C)
         else:
             attn = jnp.einsum("bfnhc,bfmhc->bfhnm", q, k,
                               preferred_element_type=jnp.float32) * (C ** -0.5)
@@ -293,6 +348,11 @@ class MultiFrameBlock(nn.Module):
             out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, F, N, C)
         elif deterministic and N * N > _DENSE_ATTN_LIMIT:
             out = _chunked_mha(q, k, v, hd ** -0.5).reshape(B, F, N, C)
+        elif not deterministic and _use_fused_train_attention(N):
+            out = _sdpa_train(
+                q, k, v, hd ** -0.5, self.attn_drop,
+                _dropout_seed(self, self.attn_drop),
+            ).reshape(B, F, N, C)
         else:
             attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)

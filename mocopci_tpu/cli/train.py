@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype for attention/grouped-MLP paths")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host training: jax.distributed.initialize() "
+                        "over DCN (TPU pod slices); the (data, model) mesh "
+                        "then spans all hosts' devices")
     return p.parse_args(argv)
 
 
@@ -62,6 +66,10 @@ def main(argv=None):
     # honour JAX_PLATFORMS even when a sitecustomize pre-registered a backend
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.multihost:
+        # must run before any backend use; auto-detects the coordinator on
+        # TPU pods (or takes JAX_COORDINATOR_ADDRESS / process env vars)
+        jax.distributed.initialize()
     from mocopci_tpu import ops
     from mocopci_tpu.config import ModelConfig, TrainConfig, timestamps, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches

@@ -52,6 +52,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of (B, ...) arrays batch-sharded over the mesh."""
+    """Device-put a pytree of (B, ...) arrays batch-sharded over the mesh.
+
+    Multi-host (``jax.distributed.initialize``, ``--multihost``): every
+    process holds the identical GLOBAL batch (the loaders shuffle with a
+    per-epoch seed, so all hosts draw the same samples) and each host's
+    devices pick out their shards via ``make_array_from_callback`` — the
+    standard single-controller pattern; no per-host data partitioning code.
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree)

@@ -61,6 +61,8 @@ def main() -> None:
         # re-time warm (first call above includes compile)
             outs.append(o)
         preds[mode] = outs
+        # NOTE: wall time per synchronous sample incl. host transfer through
+        # the axon tunnel — NOT device latency (bench.py reports that)
         lat[mode] = float(np.median(times[1:]) * 1e3) if n_samples > 1 else float("nan")
 
     cd = jax.jit(ops.chamfer_distance)
@@ -84,8 +86,8 @@ def main() -> None:
         "cd_vs_gt_approx": cd_a,
         "cd_vs_gt_exact": cd_e,
         "cd_rel_delta_pct": 100.0 * abs(cd_a - cd_e) / max(cd_e, 1e-12),
-        "latency_ms_approx": lat["approx"],
-        "latency_ms_exact": lat["exact"],
+        "wall_ms_per_sample_approx": lat["approx"],
+        "wall_ms_per_sample_exact": lat["exact"],
         "n_samples": n_samples,
         "npoints": npoints,
     }))

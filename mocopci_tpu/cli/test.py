@@ -85,31 +85,50 @@ def main(argv=None):
         state = ckpt.restore(state)
         ckpt.close()
 
-    cd_lists = [[] for _ in range(3)]
-    emd_lists = [[] for _ in range(3)]
-    # latency accounting: the first batch pays the jit compile — measured
-    # separately so wall_s is a usable steady-state metric (the reference
-    # prints per-sample forward latency, test.py:83-86)
+    import jax.numpy as jnp
+
+    # Throughput-first eval pipeline (VERDICT r2 #3): per-frame CD/EMD are
+    # accumulated ON DEVICE across the whole split and transferred to the
+    # host ONCE at the end — the round-2 loop forced a host sync + metric
+    # transfer per batch, which at batch 1 through the TPU tunnel cost ~300
+    # of 431 ms/sample.  With no per-batch sync, JAX async dispatch pipelines
+    # batch k+1's host prep under batch k's device work; the input stream is
+    # prefetched by the loader thread.
+    F = 3
     compile_s = 0.0
     steady_s = 0.0
     steady_samples = 0
+    total_samples = 0
+    sums = None
     first_batch = None
+    t1 = time.perf_counter()
     for i, batch in enumerate(batches(dataset, args.batch_size, shuffle=False, drop_last=False)):
         batch = {k: np.asarray(v) for k, v in batch.items()}
-        t1 = time.perf_counter()
+        real = batch["pc1"].shape[0]
+        if real < args.batch_size:
+            # pad the ragged tail batch to the compiled shape (a second jit
+            # compile mid-run would otherwise poison the steady-state timing);
+            # padded rows are excluded from the metric sums below
+            pad = args.batch_size - real
+            batch = {
+                k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                for k, v in batch.items()
+            }
         m = eval_step(state, batch, model_cfg, not args.no_emd)
-        m = {k: np.asarray(v) for k, v in m.items()}  # forces full execution
-        dt = time.perf_counter() - t1
+        part = {k: jnp.sum(v[:real]) for k, v in m.items()}   # lazy, on device
+        sums = part if sums is None else {
+            k: sums[k] + part[k] for k in sums
+        }
+        total_samples += real
         if i == 0:
-            compile_s = dt
+            jax.tree_util.tree_map(np.asarray, part)          # compile barrier
+            compile_s = time.perf_counter() - t1
             first_batch = batch
+            t1 = time.perf_counter()
         else:
-            steady_s += dt
-            steady_samples += batch["pc1"].shape[0]
-        for j in range(3):
-            cd_lists[j].extend(m[f"cd_{j}"].tolist())
-            if not args.no_emd:
-                emd_lists[j].extend(m[f"emd_{j}"].tolist())
+            steady_samples += real
+    sums = {k: float(v) for k, v in (sums or {}).items()}     # ONE final sync
+    steady_s = time.perf_counter() - t1
     if steady_samples == 0 and first_batch is not None:
         # single-batch split: re-time the compiled program
         t1 = time.perf_counter()
@@ -118,8 +137,26 @@ def main(argv=None):
         steady_s = time.perf_counter() - t1
         steady_samples = first_batch["pc1"].shape[0]
     per_sample_ms = 1e3 * steady_s / max(steady_samples, 1)
-    print(f"inference+metrics: {per_sample_ms:.2f} ms/sample "
-          f"(steady state over {steady_samples} samples; compile {compile_s:.1f}s excluded)")
+    # device-only latency of the compiled program (fully synced), for the
+    # wall-vs-device overhead split the reference's speed claim is about
+    device_ms = 0.0
+    if first_batch is not None:
+        reps = 3
+        t1 = time.perf_counter()
+        for _ in range(reps):
+            m = eval_step(state, first_batch, model_cfg, not args.no_emd)
+            jax.tree_util.tree_map(np.asarray, m)
+        device_ms = 1e3 * (time.perf_counter() - t1) / (
+            reps * first_batch["pc1"].shape[0]
+        )
+    print(f"inference+metrics: {per_sample_ms:.2f} ms/sample wall "
+          f"(steady state over {steady_samples} samples; compile "
+          f"{compile_s:.1f}s excluded; synced device+transfer "
+          f"{device_ms:.2f} ms/sample)")
+    cd_lists = [[sums[f"cd_{j}"] / max(total_samples, 1)] for j in range(F)]
+    emd_lists = [
+        [sums.get(f"emd_{j}", 0.0) / max(total_samples, 1)] for j in range(F)
+    ]
 
     result = {}
     for j in range(3):
@@ -137,6 +174,8 @@ def main(argv=None):
     result["wall_s"] = steady_s
     result["compile_s"] = compile_s
     result["per_sample_ms"] = per_sample_ms
+    result["device_ms_per_sample"] = device_ms
+    result["n_samples"] = total_samples
     print(json.dumps(result))
     return result
 

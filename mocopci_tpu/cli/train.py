@@ -55,6 +55,14 @@ def parse_args(argv=None):
                    help="multi-host training: jax.distributed.initialize() "
                         "over DCN (TPU pod slices); the (data, model) mesh "
                         "then spans all hosts' devices")
+    p.add_argument("--batch_policy", type=str, default="global",
+                   choices=["global", "per_device"],
+                   help="'global': --batch_size is the global batch "
+                        "(reference contract; gcd-sized data axis may idle "
+                        "chips). 'per_device': --batch_size is PER DEVICE and "
+                        "the global batch scales to batch_size x n_devices — "
+                        "keeps every chip busy; consider linear LR scaling "
+                        "(--lr), see docs/DESIGN.md")
     return p.parse_args(argv)
 
 
@@ -74,6 +82,7 @@ def main(argv=None):
     from mocopci_tpu.config import ModelConfig, TrainConfig, timestamps, tiny_model_config
     from mocopci_tpu.data import NLDriveDataset, SyntheticInterpolationDataset, batches
     from mocopci_tpu.parallel import make_mesh_for_batch, replicated, shard_batch
+    from mocopci_tpu.parallel.mesh import host_batch_slice, scale_batch_to_mesh
 
     ops.set_knn_mode(args.knn_mode, args.knn_recall)
     from mocopci_tpu.nn import set_compute_dtype
@@ -92,8 +101,18 @@ def main(argv=None):
         npoints=args.npoints
     )
     model_cfg = dataclasses.replace(model_cfg, t_forward=t_f, t_backward=t_b)
+    if args.batch_policy == "per_device":
+        global_batch, mesh = scale_batch_to_mesh(args.batch_size)
+        print(
+            f"batch policy per_device: global batch {global_batch} "
+            f"({args.batch_size}/device x {mesh.shape['data']} data shards); "
+            f"LR is NOT auto-scaled (--lr to adjust)"
+        )
+    else:
+        global_batch = args.batch_size
+        mesh = make_mesh_for_batch(global_batch)
     train_cfg = TrainConfig(
-        batch_size=args.batch_size,
+        batch_size=global_batch,
         epochs=args.epochs,
         lr=args.lr,
         weight_decay=args.weight_decay,
@@ -118,8 +137,10 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"the number of network parameters: {n_params}")
 
-    mesh = make_mesh_for_batch(train_cfg.batch_size)
     state = jax.device_put(state, replicated(mesh))
+    # multi-host: every host loads only its rows of each (identically
+    # shuffled) global batch; shard_batch reassembles the global arrays
+    hsl = host_batch_slice(train_cfg.batch_size) if args.multihost else None
 
     ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))
     start_epoch = 0
@@ -171,7 +192,8 @@ def main(argv=None):
     for epoch in range(start_epoch, train_cfg.epochs):
         t0 = time.time()
         sums, count = {}, 0
-        for batch in batches(dataset, train_cfg.batch_size, shuffle=True, seed=epoch):
+        for batch in batches(dataset, train_cfg.batch_size, shuffle=True,
+                             seed=epoch, host_slice=hsl):
             if args.profile_dir and epoch == start_epoch and count == 3:
                 jax.profiler.start_trace(args.profile_dir)
             rng, sub = jax.random.split(rng)

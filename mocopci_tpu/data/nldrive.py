@@ -89,12 +89,19 @@ def batches(
     drop_last: bool = True,
     seed: int = 0,
     prefetch: int = 2,
+    host_slice: slice = None,
 ) -> Iterator[dict]:
     """Yield batches {'pc1': (B,N,3), 'pc2': (B,N,3), 'gt': (B,F,N,3)}.
 
     The model consumes only the middle two of the four loaded frames
     (``train.py:131`` passes ``input[1], input[2]``) — preserved here.
     A background thread prefetches host-side IO.
+
+    ``host_slice`` (multi-host DP): yield only this host's rows of each
+    global batch — the seeded shuffle order is identical on every host, so
+    each host loads 1/p of the samples and
+    ``parallel.mesh.shard_batch`` reassembles the global array from the
+    per-process shards (see ``host_batch_slice``).
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -124,7 +131,7 @@ def batches(
 
     def producer():
         for idxs in idx_batches:
-            q.put(make(idxs))
+            q.put(make(idxs if host_slice is None else idxs[host_slice]))
         q.put(None)
 
     t = threading.Thread(target=producer, daemon=True)

@@ -107,35 +107,52 @@ def _upsample_feat_and_frames(dense_xyz, sparse_xyz, feat, frames):
 
 
 class PointConvEncoder(nn.Module):
-    """Shared 5-level PointConv feature pyramid (ref ``mocopci.py:415-468``)."""
+    """Shared 5-level PointConv feature pyramid (ref ``mocopci.py:415-468``).
+
+    setup-style so the point-sharded forward can drive the per-level modules
+    individually (parallel/sp_forward.py).
+    """
 
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, xyz) -> Tuple[list, list]:
+    def setup(self):
         cfg = self.cfg
         c0, c1, c2, c3, c4 = cfg.enc_channels
         n1, n2, n3, n4 = cfg.pyramid
         k = cfg.feat_nei
         w = cfg.weightnet
+        self.level0_lift = ConvLReLU(c0, name="level0_lift")
+        self.level0 = PointConv(k, c0, w, name="level0")
+        self.level0_1 = ConvLReLU(c1, name="level0_1")
+        self.level1 = PointConvD(n1, k, c1, w, name="level1")
+        self.level1_0 = ConvLReLU(c1, name="level1_0")
+        self.level1_1 = ConvLReLU(c2, name="level1_1")
+        self.level2 = PointConvD(n2, k, c2, w, name="level2")
+        self.level2_0 = ConvLReLU(c2, name="level2_0")
+        self.level2_1 = ConvLReLU(c3, name="level2_1")
+        self.level3 = PointConvD(n3, k, c3, w, name="level3")
+        self.level3_0 = ConvLReLU(c3, name="level3_0")
+        self.level3_1 = ConvLReLU(2 * c3, name="level3_1")
+        self.level4 = PointConvD(n4, k, c4, w, name="level4")
 
-        feat = ConvLReLU(c0, name="level0_lift")(xyz)          # xyz doubles as color
-        feat_l0 = PointConv(k, c0, w, name="level0")(xyz, feat)
-        f = ConvLReLU(c1, name="level0_1")(feat_l0)
+    def __call__(self, xyz) -> Tuple[list, list]:
+        feat = self.level0_lift(xyz)                           # xyz doubles as color
+        feat_l0 = self.level0(xyz, feat)
+        f = self.level0_1(feat_l0)
 
-        pc_l1, feat_l1 = PointConvD(n1, k, c1, w, name="level1")(xyz, f)
-        feat_l1 = ConvLReLU(c1, name="level1_0")(feat_l1)
-        f = ConvLReLU(c2, name="level1_1")(feat_l1)
+        pc_l1, feat_l1 = self.level1(xyz, f)
+        feat_l1 = self.level1_0(feat_l1)
+        f = self.level1_1(feat_l1)
 
-        pc_l2, feat_l2 = PointConvD(n2, k, c2, w, name="level2")(pc_l1, f)
-        feat_l2 = ConvLReLU(c2, name="level2_0")(feat_l2)
-        f = ConvLReLU(c3, name="level2_1")(feat_l2)
+        pc_l2, feat_l2 = self.level2(pc_l1, f)
+        feat_l2 = self.level2_0(feat_l2)
+        f = self.level2_1(feat_l2)
 
-        pc_l3, feat_l3 = PointConvD(n3, k, c3, w, name="level3")(pc_l2, f)
-        feat_l3 = ConvLReLU(c3, name="level3_0")(feat_l3)
-        f = ConvLReLU(2 * c3, name="level3_1")(feat_l3)
+        pc_l3, feat_l3 = self.level3(pc_l2, f)
+        feat_l3 = self.level3_0(feat_l3)
+        f = self.level3_1(feat_l3)
 
-        pc_l4, feat_l4 = PointConvD(n4, k, c4, w, name="level4")(pc_l3, f)
+        pc_l4, feat_l4 = self.level4(pc_l3, f)
 
         return [xyz, pc_l1, pc_l2, pc_l3, pc_l4], [
             feat_l0,
@@ -308,16 +325,23 @@ class MultiFrameEstimator(nn.Module):
         self.pred1 = nn.Dense(c0, dtype=compute_dtype(), name="pred1")
         self.pred2 = nn.Dense(3, name="pred2")
 
-    def _fusion(self, points1, points2, n_groups, train):
+    def _fusion(self, points1, points2, n_groups, train, points1_self_ref=None):
         """kNN-softmax position blend (ref ``fusion``, ``mocopci.py:798-819``).
 
         Inputs are the 3 frames folded frame-major into the batch axis
         ((F·B, N, 3)); the reference calls fusion once per frame, so its
         BatchNorm statistics are per frame — reproduced by normalising per
         frame group (``n_groups`` leading groups).
+
+        Row-parallel over ``points1`` rows given full reference clouds: the
+        point-sharded eval forward passes ``points1`` as a local shard,
+        ``points2`` fully gathered, and ``points1_self_ref`` (the gathered
+        points1) as the self-kNN reference.
         """
         k = self.cfg.fusion_k
-        idx_self = ops.knn(k, points1, points1)
+        idx_self = ops.knn(
+            k, points1 if points1_self_ref is None else points1_self_ref, points1
+        )
         idx_cross = ops.knn(k, points2, points1)
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
         neighbor = ops.group(points2, idx)                     # (FB,N,2k,3)

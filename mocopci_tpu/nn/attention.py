@@ -161,20 +161,24 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, deterministic: bool = True):
+        # x (queries) and c (context) may have different point counts — the
+        # point-sharded forward passes a local query shard with the full
+        # gathered context (parallel/sp_forward.py).
         B, N, C = x.shape
+        M = c.shape[1]
         H = self.num_heads
         hd = C // H
         kv = nn.Dense(2 * C, use_bias=False, dtype=compute_dtype(), name="kv")(c)
         q = nn.Dense(C, use_bias=False, dtype=compute_dtype(), name="q")(x)
-        k, v = jnp.split(kv.reshape(B, N, 2, H, hd), 2, axis=2)
+        k, v = jnp.split(kv.reshape(B, M, 2, H, hd), 2, axis=2)
         k = k.squeeze(2)
         v = v.squeeze(2)
         q = q.reshape(B, N, H, hd)
         from mocopci_tpu.ops.pallas.attention import MAX_SEQ
 
-        if deterministic and N <= MAX_SEQ:
+        if deterministic and M <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, N, C)
-        elif _use_fused_train_attention(N):
+        elif _use_fused_train_attention(M):
             out = _sdpa_train(
                 q, k, v, hd ** -0.5, self.drop, _dropout_seed(self, self.drop)
             ).reshape(B, N, C)
@@ -237,12 +241,16 @@ class EICrossformer(nn.Module):
     num_heads: int = 8
 
     @nn.compact
-    def __call__(self, x1, x2, deterministic: bool = True):
+    def __call__(self, x1, x2, deterministic: bool = True,
+                 x1_full=None, x2_full=None):
+        # x1_full/x2_full: all-gathered full-point contexts for the
+        # point-sharded forward (x1/x2 are then local query shards); default
+        # to x1/x2 for the unsharded path.
         res1 = Injector(self.dim, self.num_heads, name="injector")(
-            x1, x2, deterministic
+            x1, x2 if x2_full is None else x2_full, deterministic
         )
         res2 = Extractor(self.dim, self.num_heads, name="extractor")(
-            x2, x1, deterministic
+            x2, x1 if x1_full is None else x1_full, deterministic
         )
         cat = jnp.concatenate([res1.astype(compute_dtype()),
                                res2.astype(compute_dtype())], axis=-1)
@@ -264,23 +272,30 @@ class CrossFrameBlock(nn.Module):
     attn_drop: float = 0.05
 
     @nn.compact
-    def __call__(self, xs, train: bool = False, deterministic: bool = True):
+    def __call__(self, xs, train: bool = False, deterministic: bool = True,
+                 xs_kv=None):
+        # xs_kv: all-gathered full-point tokens for the point-sharded forward
+        # (xs is then a local query shard).  Eval-only there — the train-mode
+        # FrameBatchNorm statistics and attention dropout are not SP-aware.
+        assert xs_kv is None or (deterministic and not train)
         B, F, N, C = xs.shape
         H = self.num_heads
-        x = FrameBatchNorm(name="norm1")(xs, train)
-        x_rev = jnp.flip(x, axis=1)
+        norm1 = FrameBatchNorm(name="norm1")
+        x = norm1(xs, train)
+        x_rev = jnp.flip(norm1(xs_kv, train) if xs_kv is not None else x, axis=1)
+        M = x_rev.shape[2]
         # full-dim heads: q -> (B, F, H, N, C), scale = C^-0.5 (mocopci.py:589-590)
         q = nn.Dense(C * H, use_bias=True, kernel_init=_TRUNC02,
                      dtype=compute_dtype(), name="attn_q")(x)
         kv = nn.Dense(C * 2 * H, use_bias=True, kernel_init=_TRUNC02,
                       dtype=compute_dtype(), name="attn_kv")(x_rev)
         q = q.reshape(B, F, N, H, C)
-        k, v = jnp.split(kv.reshape(B, F, N, 2, H, C), 2, axis=3)
+        k, v = jnp.split(kv.reshape(B, F, M, 2, H, C), 2, axis=3)
         k = k.squeeze(3)
         v = v.squeeze(3)
         from mocopci_tpu.ops.pallas.attention import MAX_SEQ
 
-        if deterministic and N <= MAX_SEQ:
+        if deterministic and M <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, C ** -0.5)       # (B, F, N, H, C)
             out = jnp.sum(out, axis=1).transpose(0, 2, 1, 3)  # (B, H, N, C)
         elif _use_fused_train_attention(N):
@@ -328,25 +343,32 @@ class MultiFrameBlock(nn.Module):
     drop_path: float = 0.04
 
     @nn.compact
-    def __call__(self, xs, train: bool = False, deterministic: bool = True):
+    def __call__(self, xs, train: bool = False, deterministic: bool = True,
+                 xs_kv=None):
+        # xs_kv: all-gathered full-point tokens for the point-sharded eval
+        # forward (query shard = point shard); see CrossFrameBlock.
+        assert xs_kv is None or (deterministic and not train)
         B, F, N, C = xs.shape
         H = self.num_heads
         hd = C // H
-        x_norm = FrameBatchNorm(name="norm1")(xs, train)
-        x_rev = jnp.flip(x_norm, axis=1)
+        norm1 = FrameBatchNorm(name="norm1")
+        x_norm = norm1(xs, train)
+        x_rev = jnp.flip(norm1(xs_kv, train) if xs_kv is not None else x_norm,
+                         axis=1)
+        M = x_rev.shape[2]
         q = nn.Dense(C, use_bias=True, kernel_init=_TRUNC02,
                      dtype=compute_dtype(), name="attn_q")(x_norm)
         kv = nn.Dense(2 * C, use_bias=True, kernel_init=_TRUNC02,
                       dtype=compute_dtype(), name="attn_kv")(x_rev)
         q = q.reshape(B, F, N, H, hd)
-        k, v = jnp.split(kv.reshape(B, F, N, 2, H, hd), 2, axis=3)
+        k, v = jnp.split(kv.reshape(B, F, M, 2, H, hd), 2, axis=3)
         k = k.squeeze(3)
         v = v.squeeze(3)
         from mocopci_tpu.ops.pallas.attention import MAX_SEQ
 
-        if deterministic and N <= MAX_SEQ:
+        if deterministic and M <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, hd ** -0.5).reshape(B, F, N, C)
-        elif deterministic and N * N > _DENSE_ATTN_LIMIT:
+        elif deterministic and N * M > _DENSE_ATTN_LIMIT:
             out = _chunked_mha(q, k, v, hd ** -0.5).reshape(B, F, N, C)
         elif not deterministic and _use_fused_train_attention(N):
             out = _sdpa_train(

@@ -32,7 +32,6 @@ def _dual_knn_indices(
     xyz2: jax.Array,
     knn1: jax.Array,
     knn2: jax.Array,
-    euclid_swapped: bool,
     idx_cos: jax.Array = None,
 ) -> jax.Array:
     """Concatenated cosine-feature + Euclidean-xyz neighbour indices (B,N1,2k).
@@ -44,12 +43,7 @@ def _dual_knn_indices(
     """
     if idx_cos is None:
         idx_cos = ops.knn_cosine(k_half, knn2, knn1)
-    if euclid_swapped:
-        # BidirectionalLayerFeatCosine quirk: query xyz2 into xyz1
-        assert xyz1.shape[1] == xyz2.shape[1]
-        idx_euc = ops.knn(k_half, xyz1, xyz2)
-    else:
-        idx_euc = ops.knn(k_half, xyz2, xyz1)
+    idx_euc = ops.knn(k_half, xyz2, xyz1)
     return jnp.concatenate([idx_cos, idx_euc], axis=-1)
 
 
@@ -71,10 +65,15 @@ def _cross_core(
     3/128-lane layout made the subtract and the pos matmul cost ~30x their
     bytes on v5e.
     """
-    pos2 = pos(xyz2)                                          # (B,M,C) with bias
-    pos_g, g2 = ops.group_multi(idx, pos2.astype(jnp.float32), points2)
+    # The pos Dense MUST run in float32: it encodes absolute coordinates
+    # (|xyz| can be tens of units on NL-Drive) and the small direction
+    # encoding is recovered by subtracting two near-equal values, so bf16's
+    # ~8 mantissa bits would leave O(|pos(xyz)|/|pos(dir)| · 2^-8) relative
+    # error in the result.  f32 keeps the cancellation at ~2^-24.
+    pos2 = pos(xyz2.astype(jnp.float32))                      # (B,M,C) with bias
+    pos_g, g2 = ops.group_multi(idx, pos2, points2)
     bias = pos.variables["params"]["bias"]
-    pos_dir = pos_g - (pos(xyz1) - bias)[:, :, None, :].astype(jnp.float32)
+    pos_dir = pos_g - (pos(xyz1.astype(jnp.float32)) - bias)[:, :, None, :]
     g1 = points1[:, :, None, :]                               # broadcast over k
     x = nn.leaky_relu(g2 + g1 + pos_dir.astype(g2.dtype), LEAKY_RATE)
     for layer in mlp:
@@ -95,7 +94,9 @@ class CrossLayerFeatCosine(nn.Module):
     mlp2: Sequence[int]
 
     def setup(self):
-        self.pos1 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="pos1")
+        # f32 regardless of compute_dtype(): see the cancellation note in
+        # _cross_core.
+        self.pos1 = nn.Dense(self.mlp1[0], dtype=jnp.float32, name="pos1")
         self.cross_t11 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="cross_t11")
         self.cross_t22 = nn.Dense(self.mlp1[0], dtype=compute_dtype(), name="cross_t22")
         self.mlp1_layers = [
@@ -104,19 +105,29 @@ class CrossLayerFeatCosine(nn.Module):
         self.cross_t1 = nn.Dense(self.mlp2[0], dtype=compute_dtype(), name="cross_t1")
         self.cross_t2 = nn.Dense(self.mlp2[0], dtype=compute_dtype(), name="cross_t2")
 
-    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2):
-        k = self.nsample // 2
-        f1 = self.cross_t11(feat1)
-        f2 = self.cross_t22(feat2)
-        idx12 = _dual_knn_indices(k, pc1, pc2, knn1, knn2, euclid_swapped=False)
-        feat1_new = _cross_core(self.pos1, self.mlp1_layers, pc1, pc2, f1, f2, idx12)
-        feat1_new = self.cross_t1(feat1_new)
+    def _dir(self, proj, pc_q, pc_r, feat_q, feat_r, knn_q, knn_r):
+        """One directional pass: query rows of ``pc_q`` against cloud ``r``.
 
-        f2q = self.cross_t11(feat2)
-        f1k = self.cross_t22(feat1)
-        idx21 = _dual_knn_indices(k, pc2, pc1, knn2, knn1, euclid_swapped=False)
-        feat2_new = _cross_core(self.pos1, self.mlp1_layers, pc2, pc1, f2q, f1k, idx21)
-        feat2_new = self.cross_t2(feat2_new)
+        Row-parallel over queries given the full reference cloud — the
+        point-sharded forward passes a local query shard with all-gathered
+        ``pc_r``/``feat_r``/``knn_r`` (parallel/sp_forward.py).
+        """
+        k = self.nsample // 2
+        fq = self.cross_t11(feat_q)
+        fr = self.cross_t22(feat_r)
+        idx = _dual_knn_indices(k, pc_q, pc_r, knn_q, knn_r)
+        out = _cross_core(self.pos1, self.mlp1_layers, pc_q, pc_r, fq, fr, idx)
+        return proj(out)
+
+    def dir1(self, pc1, pc2, feat1, feat2, knn1, knn2):
+        return self._dir(self.cross_t1, pc1, pc2, feat1, feat2, knn1, knn2)
+
+    def dir2(self, pc1, pc2, feat1, feat2, knn1, knn2):
+        return self._dir(self.cross_t2, pc2, pc1, feat2, feat1, knn2, knn1)
+
+    def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2):
+        feat1_new = self.dir1(pc1, pc2, feat1, feat2, knn1, knn2)
+        feat2_new = self.dir2(pc1, pc2, feat1, feat2, knn1, knn2)
         return feat1_new, feat2_new
 
 
@@ -127,29 +138,46 @@ class BidirectionalLayerFeatCosine(nn.Module):
     mlp: Sequence[int]
 
     def setup(self):
-        self.pos = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="pos")
+        self.pos = nn.Dense(self.mlp[0], dtype=jnp.float32, name="pos")
         self.cross_t11 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="cross_t11")
         self.cross_t22 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="cross_t22")
         self.mlp_layers = [
             ConvLReLU(c, name=f"mlp_{i}") for i, c in enumerate(self.mlp[1:])
         ]
 
+    def one_direction(self, pc_q, pc_r, feat_q, feat_r, knn_q, knn_r,
+                      idx_cos=None, pc_q_euc_ref=None, pc_r_euc_q=None):
+        """feat_q_new: query rows of ``pc_q`` correlated against cloud ``r``.
+
+        The Euclidean kNN half reproduces the reference's swapped query
+        (``pytorch3d.knn_points(xyz2, xyz1)``, ``pointconv_util.py:910``):
+        the reference set is THIS cloud and the queries are the OTHER cloud's
+        rows — valid because both clouds have equal size on every call site.
+        The point-sharded forward passes ``pc_q_euc_ref`` (this cloud, fully
+        gathered, as the euclid reference) and ``pc_r_euc_q`` (the other
+        cloud's LOCAL rows as euclid queries); both default to pc_q / pc_r.
+        """
+        k = self.nsample // 2
+        if idx_cos is None:
+            idx_cos = ops.knn_cosine(k, knn_r, knn_q)
+        idx_euc = ops.knn(
+            k,
+            pc_q if pc_q_euc_ref is None else pc_q_euc_ref,
+            pc_r if pc_r_euc_q is None else pc_r_euc_q,
+        )
+        idx = jnp.concatenate([idx_cos, idx_euc], axis=-1)
+        return _cross_core(
+            self.pos, self.mlp_layers, pc_q, pc_r,
+            self.cross_t11(feat_q), self.cross_t22(feat_r), idx,
+        )
+
     def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2,
                  idx_cos_12=None, idx_cos_21=None):
-        k = self.nsample // 2
-        idx12 = _dual_knn_indices(
-            k, pc1, pc2, knn1, knn2, euclid_swapped=True, idx_cos=idx_cos_12
+        feat1_new = self.one_direction(
+            pc1, pc2, feat1, feat2, knn1, knn2, idx_cos=idx_cos_12
         )
-        feat1_new = _cross_core(
-            self.pos, self.mlp_layers, pc1, pc2,
-            self.cross_t11(feat1), self.cross_t22(feat2), idx12,
-        )
-        idx21 = _dual_knn_indices(
-            k, pc2, pc1, knn2, knn1, euclid_swapped=True, idx_cos=idx_cos_21
-        )
-        feat2_new = _cross_core(
-            self.pos, self.mlp_layers, pc2, pc1,
-            self.cross_t11(feat2), self.cross_t22(feat1), idx21,
+        feat2_new = self.one_direction(
+            pc2, pc1, feat2, feat1, knn2, knn1, idx_cos=idx_cos_21
         )
         return feat1_new, feat2_new
 
@@ -161,7 +189,7 @@ class FlowEmbeddingLayer(nn.Module):
     mlp: Sequence[int]
 
     def setup(self):
-        self.pos = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="pos")
+        self.pos = nn.Dense(self.mlp[0], dtype=jnp.float32, name="pos")
         self.conv1 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="conv1")
         self.conv2 = nn.Dense(self.mlp[0], dtype=compute_dtype(), name="conv2")
         self.mlp_layers = [
@@ -170,9 +198,7 @@ class FlowEmbeddingLayer(nn.Module):
 
     def __call__(self, pc1, pc2, feat1, feat2, knn1, knn2, idx_cos=None):
         k = self.nsample // 2
-        idx = _dual_knn_indices(
-            k, pc1, pc2, knn1, knn2, euclid_swapped=False, idx_cos=idx_cos
-        )
+        idx = _dual_knn_indices(k, pc1, pc2, knn1, knn2, idx_cos=idx_cos)
         return _cross_core(
             self.pos, self.mlp_layers, pc1, pc2,
             self.conv1(feat1), self.conv2(feat2), idx,

@@ -69,20 +69,29 @@ class PointConv(nn.Module):
 
 class PointConvD(nn.Module):
     """Downsampling PointConv: FPS to ``npoint`` then grouped conv
-    (ref ``mocopci.py:1349-1396``)."""
+    (ref ``mocopci.py:1349-1396``).
+
+    ``grouped`` exposes the aggregation core on pre-gathered neighbourhoods
+    for the point-sharded forward, which runs FPS on the gathered cloud and
+    the grouped conv per query shard (parallel/sp_forward.py).
+    """
 
     npoint: int
     nsample: int
     out_channel: int
     weightnet: int = 8
 
-    @nn.compact
+    def setup(self):
+        self.wn = WeightNet(self.weightnet, name="weightnet")
+        self.linear = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
+
     def __call__(self, xyz, feat):
         """xyz: (B, N, 3); feat: (B, N, D) -> (new_xyz (B,npoint,3), out (B,npoint,C))."""
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather(xyz, fps_idx)
         idx = ops.knn(self.nsample, xyz, new_xyz)
         grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
-        wn = WeightNet(self.weightnet, name="weightnet")
-        lin = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
-        return new_xyz, _pointconv_core(wn, lin, new_xyz, grouped_xyz, grouped_feat)
+        return new_xyz, self.grouped(new_xyz, grouped_xyz, grouped_feat)
+
+    def grouped(self, query_xyz, grouped_xyz, grouped_feat):
+        return _pointconv_core(self.wn, self.linear, query_xyz, grouped_xyz, grouped_feat)

@@ -27,6 +27,7 @@ from mocopci_tpu.ops.emd import (
 from mocopci_tpu.ops.interpolate import (
     point_warp,
     three_interpolate,
+    three_nn,
     upsample,
     upsample_multi,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "match_cost",
     "point_warp",
     "three_interpolate",
+    "three_nn",
     "upsample",
     "upsample_multi",
     "downsample_fps",

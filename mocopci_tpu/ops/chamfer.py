@@ -29,8 +29,14 @@ def _directed_min(src: jax.Array, dst: jax.Array) -> jax.Array:
     """min over dst of squared distance, per src point: (B, N).
 
     On TPU this runs as a 1-NN query through the fused Pallas kNN kernel
-    (exact at k=1 — a bin always keeps its minimum) plus a row gather, then
-    recomputes the distance exactly from the matched pair: the dense
+    plus a row gather, then recomputes the distance exactly from the matched
+    pair.  Exactness caveat: the kernel packs the candidate index into the
+    low ceil(log2 M) mantissa bits of the distance key (~2^-10 relative
+    quantisation at M=8192), so among near-ties (relative gap below that
+    bound) it may select a neighbour marginally farther than the true argmin;
+    the recomputed distance is then exact for the *selected* pair but can
+    exceed the true min by the tie gap.  This is why TPU-vs-dense parity
+    assertions carry a ~1e-3 relative tolerance.  The dense
     (B, N, M) matrix + min/argmin reduction cost ~3.5 ms per direction at
     8192² in the training loss, the 1-NN form ~1 ms, and autodiff through
     the gather reproduces the same argmin subgradient as min().

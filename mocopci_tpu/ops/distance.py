@@ -99,7 +99,9 @@ def _topk_min_indices(dists: jax.Array, k: int) -> jax.Array:
     k = min(k, dists.shape[-1])
     if _KNN_MODE != "approx":
         M = dists.shape[-1]
-        if M > 2048 and M % 1024 == 0:
+        # k <= 1024 guard: a chunk holding more than 1024 of the global top-k
+        # would silently lose true neighbours in the per-chunk stage.
+        if M > 2048 and M % 1024 == 0 and k <= 1024:
             # exact chunked merge: lax.top_k lowers to a full-width sort
             # (O(M log^2 M) per row); per-1024-chunk top-k + an exact top-k
             # over the nchunks*k survivors returns the identical set ~3x

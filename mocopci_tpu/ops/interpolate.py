@@ -83,6 +83,26 @@ def upsample_multi(
     return [jnp.sum(w * g, axis=2) for g in gathered[1:]]
 
 
+def three_nn(unknown: jax.Array, known: jax.Array):
+    """(dists, idx) of the 3 nearest ``known`` points per ``unknown`` point.
+
+    API-parity twin of the CUDA ``three_nn`` (``interpolate_gpu.cu:9-68`` via
+    ``pointnet2/pointnet2_utils.py:76-105``): returns the *l2* (sqrt'd)
+    distances and int32 indices, non-differentiable like the original.
+
+    Args:
+      unknown: (B, N, 3) query points.
+      known:   (B, M, 3) reference points.
+    Returns:
+      (dists (B, N, 3) f32, idx (B, N, 3) int32)
+    """
+    idx = knn(3, known, unknown)
+    neigh = group_multi(idx, known)[0]
+    diff = neigh - unknown[:, :, None, :]
+    dists = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    return jax.lax.stop_gradient(dists), idx
+
+
 def three_interpolate(
     dense_xyz: jax.Array, sparse_xyz: jax.Array, sparse_feat: jax.Array
 ) -> jax.Array:

@@ -46,18 +46,17 @@ def _hash_u32(x):
 def _keep_mask(seed, g, q0, tq, mw, rate):
     """(tq, mw) keep/(1-rate) dropout scale factors, 0 where dropped.
 
-    Counter packs (g, row, col) as (g << 24) ^ (row << 12) ^ col — unique for
-    N, M <= 4096 (= MAX_SEQ) regardless of padding, so the forward and
-    backward kernels and the plain-jnp test twin all see the same mask.
+    The (row, col) counter packs as (row << 12) ^ col — unique for
+    N, M <= 4096 (= MAX_SEQ) regardless of padding — and the group id is
+    mixed into the SEED through a full-width avalanche hash (a shifted-g
+    counter would wrap at g >= 256, aliasing dropout masks across attention
+    groups since G = B·F·H easily exceeds 256).  Forward kernel, backward
+    kernel, and the plain-jnp test twin all see the same mask.
     """
     rows = lax.broadcasted_iota(jnp.uint32, (tq, mw), 0) + jnp.uint32(q0)
     cols = lax.broadcasted_iota(jnp.uint32, (tq, mw), 1)
-    ctr = (
-        (jnp.uint32(g) << jnp.uint32(24))
-        ^ (rows << jnp.uint32(12))
-        ^ cols
-    )
-    h = _hash_u32(ctr ^ jnp.uint32(seed))
+    ctr = (rows << jnp.uint32(12)) ^ cols
+    h = _hash_u32(ctr ^ _hash_u32(jnp.uint32(g) ^ jnp.uint32(seed)))
     # Mosaic has no uint32 -> float cast; compare in int32 (values < 2^24)
     keep = (h & jnp.uint32(0xFFFFFF)).astype(jnp.int32) >= jnp.int32(
         rate * (1 << 24)
@@ -236,8 +235,8 @@ def keep_mask_reference(seed, g, n, m, rate):
     """Plain-jnp twin of the in-kernel mask for unit tests: (n, m) factors."""
     rows = jnp.arange(n, dtype=jnp.uint32)[:, None]
     cols = jnp.arange(m, dtype=jnp.uint32)[None, :]
-    ctr = (jnp.uint32(g) << jnp.uint32(24)) ^ (rows << jnp.uint32(12)) ^ cols
-    h = _hash_u32(ctr ^ jnp.uint32(seed))
+    ctr = (rows << jnp.uint32(12)) ^ cols
+    h = _hash_u32(ctr ^ _hash_u32(jnp.uint32(g) ^ jnp.uint32(seed)))
     keep = (h & jnp.uint32(0xFFFFFF)).astype(jnp.int32) >= jnp.int32(
         rate * (1 << 24)
     )

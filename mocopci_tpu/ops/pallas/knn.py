@@ -24,7 +24,9 @@ Algorithm (per query tile of TQ rows):
      min-reduce plus one masked update (keys are unique by construction).  The
      fold cuts the extraction working set ~2.7x; it can only lose a neighbour
      when >= 4 of the true top-k collide in one column mod 128 (measured
-     overlap vs the unfolded extraction: 0.9998 at 8192^2/k=32).
+     overlap vs the unfolded extraction: 0.9998 at 8192^2/k=32).  The fold is
+     applied only when M > TR, so the M <= TR regime keeps its exactness
+     guarantee (up to the packing quantisation).
 
 For small point dimensionality (C <= 8, i.e. xyz) the distance tile is
 computed as an explicit sum of squared differences on the VPU — a (TQ, C)
@@ -111,10 +113,13 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
         INF = jnp.int32(0x7FFFFFFF)
 
         S = TR // 128
-        if S >= 4 and 3 * 128 >= k:
+        if S >= 4 and 3 * 128 >= k and M > TR:
             # fold S slabs of 128 columns into per-column top-3 survivors:
             # elementwise across slabs, no lane crossing.  A neighbour is
             # lost only when >= 4 of the top-k collide in one column mod 128.
+            # Skipped when M <= TR: there each bin column holds exactly one
+            # reference point, so the unfolded extraction is exact (up to key
+            # quantisation) and the fold would *introduce* collision loss.
             slabs = [bins[:, s * 128 : (s + 1) * 128] for s in range(S)]
             m1 = slabs[0]
             for s in slabs[1:]:

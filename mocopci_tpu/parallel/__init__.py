@@ -6,3 +6,4 @@ from mocopci_tpu.parallel.mesh import (
     shard_batch,
 )
 from mocopci_tpu.parallel.sp import chamfer_distance_sp
+from mocopci_tpu.parallel.sp_forward import eval_forward_sp

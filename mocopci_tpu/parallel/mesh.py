@@ -42,6 +42,29 @@ def make_mesh_for_batch(batch_size: int, n_model: int = 1) -> Mesh:
     return make_mesh(max(n_data, 1), n_model)
 
 
+def scale_batch_to_mesh(per_device_batch: int, n_model: int = 1):
+    """Batch-to-mesh scaling policy: keep every chip busy.
+
+    The reference recipe is GLOBAL batch 2 (``train.py:58``) under
+    DataParallel; ``make_mesh_for_batch`` reproduces that contract but on an
+    8-chip slice it would use gcd(2, 8) = 2 chips and idle six.  This policy
+    instead fixes the PER-DEVICE batch and scales the global batch with the
+    data axis: ``global = per_device_batch * n_data`` over all visible
+    devices.
+
+    LR note: the reference schedule (AdamW 1e-3, StepLR 15/0.8) is tuned for
+    global batch 2.  With K× the global batch, standard practice is linear LR
+    scaling (lr × K) with warmup; this function does NOT silently rescale —
+    pass ``--lr`` explicitly (documented in docs/DESIGN.md §DP-scaling).
+
+    Returns:
+      (global_batch, mesh)
+    """
+    avail = max(len(jax.devices()) // n_model, 1)
+    mesh = make_mesh(avail, n_model)
+    return per_device_batch * avail, mesh
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P("data"))
@@ -51,21 +74,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of (B, ...) arrays batch-sharded over the mesh.
+def host_batch_slice(global_batch: int) -> slice:
+    """The slice of the global batch THIS host must load (multi-host DP).
 
-    Multi-host (``jax.distributed.initialize``, ``--multihost``): every
-    process holds the identical GLOBAL batch (the loaders shuffle with a
-    per-epoch seed, so all hosts draw the same samples) and each host's
-    devices pick out their shards via ``make_array_from_callback`` — the
-    standard single-controller pattern; no per-host data partitioning code.
+    With the batch axis sharded over the 'data' mesh axis and devices laid
+    out process-contiguously (the ``jax.devices()`` order ``make_mesh``
+    uses), process i's addressable devices own rows
+    ``[i*B/p, (i+1)*B/p)``.  Single-process: the whole batch.
+    """
+    p = jax.process_count()
+    if p == 1:
+        return slice(0, global_batch)
+    assert global_batch % p == 0, (global_batch, p)
+    per = global_batch // p
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of batch arrays batch-sharded over the mesh.
+
+    Single-process: ``tree`` holds the global batch; plain ``device_put``.
+
+    Multi-host (``jax.distributed.initialize``, ``--multihost``): ``tree``
+    holds only THIS host's rows (``host_batch_slice`` of the global batch —
+    each host loads 1/p of the data instead of materialising the global
+    batch) and the global arrays are assembled from the per-process shards
+    without any cross-host copy.
     """
     s = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
     def put(x):
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
 
     return jax.tree_util.tree_map(put, tree)

@@ -1,0 +1,344 @@
+"""Whole-model point-sharded (sequence-parallel) eval forward.
+
+BASELINE config 5 (16k-32k points/frame) on a multi-chip slice: batch is tiny
+(B=1-2), so the scaling axis is the POINT dimension.  This module composes the
+op-level SP pieces (``parallel/sp.py``) into the full MoCoPCI eval forward
+(ref ``models/m_models/mocopci.py:1069-1097``) under one ``shard_map``:
+
+  - every full-resolution field (clouds, features, flows, per-frame warps) is
+    sharded over the mesh ``model`` axis on its point dimension;
+  - reference clouds/features are all-gathered over ICI exactly where an op
+    needs the full set (kNN reference, attention k/v, upsample sparse side,
+    grouped-correlation gather source) — after that one collective the O(N·M)
+    work is embarrassingly parallel over the local query shard;
+  - **FPS is gather-to-replicated by design**: the sampling recursion is
+    sequential and global, so every device runs the identical FPS on the
+    gathered cloud (cheap — FPS output sizes are pyramid sizes, and the
+    gathered xyz is (B, N, 3) ≈ 384 KB at 32k) and then computes the grouped
+    conv only for its slice of the sampled queries;
+  - attention uses *query shard = point shard*: q from the local rows, k/v
+    from the gathered rows (``xs_kv`` / ``x*_full`` arguments of the attention
+    blocks), so no logits tile ever exceeds (n_local, N);
+  - parameters are passed replicated (``P()``); the per-device compute calls
+    the SAME flax modules as the unsharded model (bound methods), so SP output
+    == dense output up to reduction-order rounding — pinned by
+    ``tests/test_sp_forward.py``.
+
+Collectives per forward (all ``all_gather`` over the ``model`` axis, riding
+ICI): 2 at the encoder L0 conv, 2 per PointConvD level (xyz is gathered once
+and reused), ~2 per EI level, ~6 per decoder stage (features + flows + warped
+cloud), 4 in the refine/fusion head — each moving a (B, N_level, C) field.
+Measured cost on the virtual mesh is in docs/DESIGN.md §SP.
+
+Eval-only: the train path's FrameBatchNorm batch statistics and attention
+dropout are not SP-aware (multi-chip *training* scales over the batch axis
+instead — ``parallel/mesh.py``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mocopci_tpu import ops
+from mocopci_tpu.config import ModelConfig
+from mocopci_tpu.models import MoCoPCI
+from mocopci_tpu.models.mocopci import (
+    _upsample_feat_and_frames,
+    _upsample_feats_and_frames,
+    _rev_frames,
+    area_resize_matrix,
+    time_embedding,
+)
+
+AXIS = "model"
+
+
+def _full(a, axis=1):
+    return lax.all_gather(a, AXIS, axis=axis, tiled=True)
+
+
+def _shard(a, n_shards: int, axis=1):
+    n = a.shape[axis]
+    assert n % n_shards == 0, (
+        f"point axis {n} not divisible by the '{AXIS}' mesh axis ({n_shards})"
+    )
+    i = lax.axis_index(AXIS)
+    return lax.dynamic_slice_in_dim(a, i * (n // n_shards), n // n_shards, axis)
+
+
+def _pointconvd_sp(pcd, xyz_full, feat_full, n_shards):
+    """FPS (replicated on the gathered cloud) + query-sharded grouped conv.
+
+    Returns (new_xyz_full, new_xyz_local, out_local).
+    """
+    fps_idx = ops.farthest_point_sample(xyz_full, pcd.npoint)
+    new_full = ops.gather(xyz_full, fps_idx)
+    new_loc = _shard(new_full, n_shards)
+    idx = ops.knn(pcd.nsample, xyz_full, new_loc)
+    gx, gf = ops.group_multi(idx, xyz_full, feat_full)
+    return new_full, new_loc, pcd.grouped(new_loc, gx, gf)
+
+
+def _encoder_sp(enc, x_loc, x_full, n_shards):
+    """Point-sharded PointConvEncoder.
+
+    Returns (pcs_full, pcs_local, feats_local) — xyz pyramids kept both full
+    (replicated, cheap) and local; features local only.
+    """
+    feat = enc.level0_lift(x_loc)
+    idx = ops.knn(enc.level0.nsample, x_full, x_loc)
+    gx, gf = ops.group_multi(idx, x_full, _full(feat))
+    feat_l0 = enc.level0.grouped(x_loc, gx, gf)
+    f = enc.level0_1(feat_l0)
+
+    pc1_full, pc1_loc, feat_l1 = _pointconvd_sp(enc.level1, x_full, _full(f), n_shards)
+    feat_l1 = enc.level1_0(feat_l1)
+    f = enc.level1_1(feat_l1)
+
+    pc2_full, pc2_loc, feat_l2 = _pointconvd_sp(enc.level2, pc1_full, _full(f), n_shards)
+    feat_l2 = enc.level2_0(feat_l2)
+    f = enc.level2_1(feat_l2)
+
+    pc3_full, pc3_loc, feat_l3 = _pointconvd_sp(enc.level3, pc2_full, _full(f), n_shards)
+    feat_l3 = enc.level3_0(feat_l3)
+    f = enc.level3_1(feat_l3)
+
+    pc4_full, pc4_loc, feat_l4 = _pointconvd_sp(enc.level4, pc3_full, _full(f), n_shards)
+
+    pcs_full = [x_full, pc1_full, pc2_full, pc3_full, pc4_full]
+    pcs_loc = [x_loc, pc1_loc, pc2_loc, pc3_loc, pc4_loc]
+    feats = [feat_l0, feat_l1, feat_l2, feat_l3, feat_l4]
+    return pcs_full, pcs_loc, feats
+
+
+def _mfa_sp(mfa, pc1, pc1f, pc2, pc2f,
+            f1new, f1new_f, f2new, f2new_f,
+            f10, f10f, f11, f11f, f20, f20f, f21, f21f,
+            upf, upf_f, ts):
+    """Point-sharded ``MultiframeAttention.__call__`` (eval path).
+
+    Args come in (local, full) pairs; ``upf`` is the (B, F, n_local, 3)
+    candidate-flow shard with ``upf_f`` its gathered twin.  Mirrors the dense
+    body (models/mocopci.py MultiframeAttention) op for op.
+    """
+    c_feat1 = jnp.concatenate([f10, f11, f1new], axis=-1)
+    c_feat2 = jnp.concatenate([f20, f21, f2new], axis=-1)
+    c_feat1_f = jnp.concatenate([f10f, f11f, f1new_f], axis=-1)
+    c_feat2_f = jnp.concatenate([f20f, f21f, f2new_f], axis=-1)
+
+    B, F = upf.shape[:2]
+    k_half = mfa.flow_nei // 2
+    idx_cos_12 = ops.knn_cosine(k_half, f20f, f10)          # local cloud-1 rows
+    idx_cos_21 = ops.knn_cosine(k_half, f10f, f20)          # local cloud-2 rows
+
+    def rep(x):
+        return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:]).reshape(
+            (B * F,) + x.shape[1:]
+        )
+
+    def fold(x):
+        return x.reshape((B * F,) + x.shape[2:])
+
+    pc2_warp = ops.point_warp(rep(pc1f), rep(pc2), fold(upf_f))  # local c2 rows
+    pc2_warp_f = _full(pc2_warp)
+
+    f1n_all = mfa.bid.one_direction(
+        rep(pc1), pc2_warp_f, rep(c_feat1), rep(c_feat2_f),
+        rep(f10), rep(f20f), idx_cos=rep(idx_cos_12),
+        pc_q_euc_ref=rep(pc1f), pc_r_euc_q=pc2_warp,
+    )
+    f2n_all = mfa.bid.one_direction(
+        pc2_warp, rep(pc1f), rep(c_feat2), rep(c_feat1_f),
+        rep(f20), rep(f10f), idx_cos=rep(idx_cos_21),
+        pc_q_euc_ref=pc2_warp_f, pc_r_euc_q=rep(pc1),
+    )
+    fe_all = mfa.fe(
+        rep(pc1), pc2_warp_f, f1n_all, _full(f2n_all),
+        rep(f10), rep(f20f), idx_cos=rep(idx_cos_12),
+    )
+    f1n_all = f1n_all.reshape((B, F) + f1n_all.shape[1:])
+    f2n_all = f2n_all.reshape((B, F) + f2n_all.shape[1:])
+    fe_all = fe_all.reshape((B, F) + fe_all.shape[1:])
+    f1n, f2n = f1n_all[:, -1], f2n_all[:, -1]
+
+    x = jnp.concatenate([f1n[:, None], fe_all[:, :3], f2n[:, None]], axis=1)
+    x = x + time_embedding(ts, mfa.feat_ch)[None, :, None, :]
+    feats, frames = mfa.cross_block(x, False, True, xs_kv=_full(x, axis=2))
+    feats = mfa.downsample(feats)
+    return frames, f1n, f2n, feats
+
+
+def _refine_fuse_sp(est, cfg, feat0, base, flows, n_shards):
+    """Point-sharded refine head + kNN-softmax fusion (eval).
+
+    base/feat0/flows: (F·B, n_local, ·) frame-major folded shards.
+    Mirrors ``MultiFrameEstimator._refine`` + ``_fusion``.
+    """
+    c0 = cfg.enc_channels[0]
+    A = area_resize_matrix(3, c0)
+    warped_feat = feat0 + jnp.einsum("bnc,dc->bnd", flows, A)
+    warped_feat = est.rlevel0(warped_feat)
+
+    base_f = _full(base)
+    fps_idx = ops.farthest_point_sample(base_f, cfg.refine_npoint)
+    down_f = ops.gather(base_f, fps_idx)
+    down_l = _shard(down_f, n_shards)
+    idx = ops.knn(est.refine_level1.nsample, base_f, down_l)
+    gx, gf = ops.group_multi(idx, base_f, _full(warped_feat))
+    down_feat = est.refine_level1.grouped(down_l, gx, gf)
+    shaped = est.shape1.attend(down_feat, down_l, _full(down_feat), down_f)
+    up = ops.upsample(base, down_f, _full(shaped))
+    refine_out = est.pred2(nn.relu(est.pred1(up)).astype(jnp.float32))
+
+    return est._fusion(
+        base, _full(refine_out), cfg.n_frames, False, points1_self_ref=base_f
+    )
+
+
+def _estimator_sp(est, cfg, pc1f, pc1l, pc2f, pc2l, f1l, f2l, n_shards):
+    """Point-sharded ``MultiFrameEstimator.__call__`` (eval path)."""
+    F = cfg.n_frames
+    t_f, t_b = cfg.t_forward, cfg.t_backward
+    f1f = [_full(f) for f in f1l]
+    f2f = [_full(f) for f in f2l]
+
+    # EI fusion at L1..L3 (query shard = point shard in the cross attention)
+    fus1 = est.ei1(f1l[1], f2l[1], True, x1_full=f1f[1], x2_full=f2f[1])
+    fus2 = est.ei2(f1l[2], f2l[2], True, x1_full=f1f[2], x2_full=f2f[2])
+    fus3 = est.ei3(f1l[3], f2l[3], True, x1_full=f1f[3], x2_full=f2f[3])
+    fus1_f, fus2_f, fus3_f = _full(fus1), _full(fus2), _full(fus3)
+
+    # L4 -> L3
+    feat1_l4_3 = est.deconv4_3(ops.upsample(pc1l[3], pc1f[4], f1f[4]))
+    feat2_l4_3 = est.deconv4_3(ops.upsample(pc2l[3], pc2f[4], f2f[4]))
+
+    # L3 cost volume + one-shot synthesis
+    c1_l3 = jnp.concatenate([f1l[3], fus3, feat1_l4_3], axis=-1)
+    c2_l3 = jnp.concatenate([f2l[3], fus3, feat2_l4_3], axis=-1)
+    c1_l3_f, c2_l3_f = _full(c1_l3), _full(c2_l3)
+    f1n_l3 = est.cross3.dir1(pc1l[3], pc2f[3], c1_l3, c2_l3_f, f1l[3], f2f[3])
+    f2n_l3 = est.cross3.dir2(pc1f[3], pc2l[3], c1_l3_f, c2_l3, f1f[3], f2l[3])
+    f1n_l3_f, f2n_l3_f = _full(f1n_l3), _full(f2n_l3)
+    xs_f = jnp.stack([f1n_l3, f2n_l3], axis=1)
+    xs_f_kv = jnp.stack([f1n_l3_f, f2n_l3_f], axis=1)
+    _, frame3_f = est.cross_block3(xs_f, False, True, xs_kv=xs_f_kv)
+    xs_b = jnp.stack([f2n_l3, f1n_l3], axis=1)
+    xs_b_kv = jnp.stack([f2n_l3_f, f1n_l3_f], axis=1)
+    _, frame3_b = est.cross_block3(xs_b, False, True, xs_kv=xs_b_kv)
+    frame3_f_full = _full(frame3_f, axis=2)
+    frame3_b_full = _full(frame3_b, axis=2)
+
+    # L3 -> L2
+    feat1_l3_2, up_frame2_f = _upsample_feat_and_frames(
+        pc1l[2], pc1f[3], f1n_l3_f, frame3_f_full
+    )
+    feat2_l3_2, up_frame2_b = _upsample_feat_and_frames(
+        pc2l[2], pc2f[3], f2n_l3_f, frame3_b_full
+    )
+    feat1_l3_2 = est.deconv3_2(feat1_l3_2)
+    feat2_l3_2 = est.deconv3_2(feat2_l3_2)
+
+    # L2
+    frame2_f, f1n_l2_f, f2n_l2_f, _ = _mfa_sp(
+        est.multi_frame_up_2, pc1l[2], pc1f[2], pc2l[2], pc2f[2],
+        feat1_l3_2, _full(feat1_l3_2), feat2_l3_2, _full(feat2_l3_2),
+        f1l[2], f1f[2], fus2, fus2_f, f2l[2], f2f[2], fus2, fus2_f,
+        up_frame2_f, _full(up_frame2_f, axis=2), t_f,
+    )
+    frame2_b, f2n_l2_b, f1n_l2_b, _ = _mfa_sp(
+        est.multi_frame_up_2, pc2l[2], pc2f[2], pc1l[2], pc1f[2],
+        feat2_l3_2, _full(feat2_l3_2), feat1_l3_2, _full(feat1_l3_2),
+        f2l[2], f2f[2], fus2, fus2_f, f1l[2], f1f[2], fus2, fus2_f,
+        up_frame2_b, _full(up_frame2_b, axis=2), t_b,
+    )
+
+    # L2 -> L1 (shared-geometry upsample per cloud)
+    (feat1_l2_1_f, feat1_l2_1_b), up_frame1_f = _upsample_feats_and_frames(
+        pc1l[1], pc1f[2], (_full(f1n_l2_f), _full(f1n_l2_b)),
+        _full(frame2_f, axis=2),
+    )
+    (feat2_l2_1_f, feat2_l2_1_b), up_frame1_b = _upsample_feats_and_frames(
+        pc2l[1], pc2f[2], (_full(f2n_l2_f), _full(f2n_l2_b)),
+        _full(frame2_b, axis=2),
+    )
+    feat1_l2_1_f = est.deconv2_1(feat1_l2_1_f)
+    feat2_l2_1_f = est.deconv2_1(feat2_l2_1_f)
+    feat1_l2_1_b = est.deconv2_1(feat1_l2_1_b)
+    feat2_l2_1_b = est.deconv2_1(feat2_l2_1_b)
+
+    # L1
+    frame1_f, _, _, _ = _mfa_sp(
+        est.multi_frame_up_1, pc1l[1], pc1f[1], pc2l[1], pc2f[1],
+        feat1_l2_1_f, _full(feat1_l2_1_f), feat2_l2_1_f, _full(feat2_l2_1_f),
+        f1l[1], f1f[1], fus1, fus1_f, f2l[1], f2f[1], fus1, fus1_f,
+        up_frame1_f, _full(up_frame1_f, axis=2), t_f,
+    )
+    frame1_b, _, _, _ = _mfa_sp(
+        est.multi_frame_up_1, pc2l[1], pc2f[1], pc1l[1], pc1f[1],
+        feat2_l2_1_b, _full(feat2_l2_1_b), feat1_l2_1_b, _full(feat1_l2_1_b),
+        f2l[1], f2f[1], fus1, fus1_f, f1l[1], f1f[1], fus1, fus1_f,
+        up_frame1_b, _full(up_frame1_b, axis=2), t_b,
+    )
+
+    # L1 -> L0 (backward branch: time-reversed frame order, mocopci.py:1002-1006)
+    _, up_frame0_f = _upsample_feat_and_frames(
+        pc1l[0], pc1f[1], None, _full(frame1_f, axis=2)
+    )
+    _, up_frame0_b = _upsample_feat_and_frames(
+        pc2l[0], pc2f[1], None, _rev_frames(_full(frame1_b, axis=2))
+    )
+
+    # L0: warp, refine, fuse — frames folded frame-major into the batch axis
+    B = pc1l[0].shape[0]
+    warped_f = pc1l[0][:, None] + up_frame0_f
+    warped_b = pc2l[0][:, None] + up_frame0_b
+    base = jnp.concatenate([warped_f[:, 0], warped_f[:, 1], warped_b[:, 2]], axis=0)
+    feat0 = jnp.concatenate([f1l[0], f1l[0], f2l[0]], axis=0)
+    flows = jnp.concatenate(
+        [up_frame0_f[:, 0], up_frame0_f[:, 1], up_frame0_b[:, 2]], axis=0
+    )
+    fused = _refine_fuse_sp(est, cfg, feat0, base, flows, n_shards)
+    return jnp.stack([fused[i * B : (i + 1) * B] for i in range(F)], axis=1)
+
+
+def eval_forward_sp(
+    mesh: Mesh, cfg: ModelConfig, variables, xyz1: jax.Array, xyz2: jax.Array
+) -> jax.Array:
+    """Full point-sharded eval forward: (B, N, 3) x2 -> (B, 3, N, 3).
+
+    Batch is sharded over the mesh ``data`` axis, points over ``model``;
+    parameters replicated.  Output sharding matches the inputs.
+    """
+    model = MoCoPCI(cfg)
+    n_shards = mesh.shape[AXIS]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data", AXIS, None), P("data", AXIS, None)),
+        out_specs=P("data", None, AXIS, None),
+        check_vma=False,
+    )
+    def _fwd(v, x1, x2):
+        m = model.bind(v)
+        # batched-encoder trick of the dense model (one call for both clouds)
+        x = jnp.concatenate([x1, x2], axis=0)
+        pcs_f, pcs_l, feats = _encoder_sp(m.encoder, x, _full(x), n_shards)
+        B = x1.shape[0]
+        pc1f = [p[:B] for p in pcs_f]
+        pc2f = [p[B:] for p in pcs_f]
+        pc1l = [p[:B] for p in pcs_l]
+        pc2l = [p[B:] for p in pcs_l]
+        f1l = [f[:B] for f in feats]
+        f2l = [f[B:] for f in feats]
+        return _estimator_sp(
+            m.estimator, cfg, pc1f, pc1l, pc2f, pc2l, f1l, f2l, n_shards
+        )
+
+    return _fwd(variables, xyz1, xyz2)

@@ -271,3 +271,77 @@ def load_reference_checkpoint(path: str):
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("net", ckpt)
     return convert_reference_state_dict({k: v.numpy() for k, v in sd.items()})
+
+
+def main(argv=None):
+    """CLI: ``python -m mocopci_tpu.training.convert ref.pth out_dir``.
+
+    Converts a reference torch checkpoint into an Orbax checkpoint directory
+    directly loadable by ``test.py --pretrain_model out_dir`` (and usable as a
+    warm start for ``train.py --resume``).  The optimizer state is freshly
+    initialised — the torch Adam moments do not transfer across frameworks.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference MoCoPCI .pth checkpoint to Orbax."
+    )
+    p.add_argument("pth", help="reference checkpoint (torch.save {'net': ...})")
+    p.add_argument("out_dir", help="Orbax checkpoint directory to create")
+    p.add_argument("--npoints", type=int, default=8192)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config instead of the full model")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
+    from mocopci_tpu.training.checkpoint import CheckpointManager
+    from mocopci_tpu.training.loop import create_train_state
+
+    params, batch_stats = load_reference_checkpoint(args.pth)
+
+    model_cfg = (
+        tiny_model_config(args.npoints) if args.tiny
+        else ModelConfig(npoints=args.npoints)
+    )
+    _, state = create_train_state(model_cfg, TrainConfig(), steps_per_epoch=1)
+
+    # structural check: the converted tree must match the model's init tree
+    # (same keys, same leaf shapes) before we overwrite anything
+    def check(tmpl, got, name):
+        t_flat = jax.tree_util.tree_leaves_with_path(tmpl)
+        g_flat = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(got)}
+        t_keys = {jax.tree_util.keystr(k) for k, _ in t_flat}
+        missing = t_keys - set(g_flat)
+        extra = set(g_flat) - t_keys
+        if missing or extra:
+            raise SystemExit(
+                f"{name} tree mismatch.\n  missing: {sorted(missing)[:10]}\n"
+                f"  extra: {sorted(extra)[:10]}"
+            )
+        for k, v in t_flat:
+            ks = jax.tree_util.keystr(k)
+            if tuple(v.shape) != tuple(g_flat[ks].shape):
+                raise SystemExit(
+                    f"{name}{ks}: shape {g_flat[ks].shape} != expected {v.shape}"
+                )
+
+    check(state.params, params, "params")
+    check(state.batch_stats, batch_stats, "batch_stats")
+
+    state = state.replace(
+        params=jax.tree.map(jnp.asarray, params),
+        batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+    )
+    mgr = CheckpointManager(args.out_dir)
+    mgr.save(0, state, steps_per_epoch=1)
+    mgr.close()
+    n = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"wrote Orbax checkpoint to {args.out_dir} ({n:,} parameters)")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,12 @@ import os
 import sys
 import subprocess
 
+import pytest
+
+# each test pays a fresh interpreter + jax import + (cached) compile; >60s
+# apiece on this 1-CPU host
+pytestmark = pytest.mark.slow
+
 
 def _run(args, timeout=1200):
     env = dict(os.environ)

@@ -94,6 +94,34 @@ def test_reference_dead_modules_are_dropped(reference_state_dict):
     assert any(k.startswith("multi_frame_inference.rf_block0.") for k in keys)
 
 
+@pytest.mark.slow
+def test_converter_cli_roundtrip(reference_state_dict, tmp_path):
+    """``python -m mocopci_tpu.training.convert ref.pth out`` writes an Orbax
+    checkpoint that the eval CLI's CheckpointManager restores (VERDICT r2 #5)."""
+    torch = pytest.importorskip("torch")
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in reference_state_dict.items()}
+    pth = tmp_path / "ref.pth"
+    torch.save({"net": sd, "epoch": 3}, str(pth))
+
+    from mocopci_tpu.training import convert
+
+    out = tmp_path / "orbax_ckpt"
+    convert.main([str(pth), str(out)])
+
+    from mocopci_tpu.config import ModelConfig, TrainConfig
+    from mocopci_tpu.training import CheckpointManager, create_train_state
+
+    _, state = create_train_state(ModelConfig(), TrainConfig(), steps_per_epoch=1)
+    mgr = CheckpointManager(str(out))
+    state = mgr.restore(state)
+    mgr.close()
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["level0"]["linear"]["kernel"]),
+        reference_state_dict["encoder.level0.linear.weight"].T,
+    )
+
+
 def test_load_reference_checkpoint_pth(reference_state_dict, tmp_path):
     """End-to-end: a torch-saved reference checkpoint file loads and converts."""
     import torch

@@ -99,7 +99,11 @@ def test_bf16_activations_parity():
     cfg = tiny_model_config(128)
     rng = jax.random.PRNGKey(0)
     r = np.random.default_rng(0)
-    x1 = jnp.asarray(r.normal(size=(1, 128, 3)).astype(np.float32))
+    # Large absolute offset (NL-Drive coordinates reach tens of units): guards
+    # the pos-encoding linearity rewrite in nn/cross.py against bf16
+    # catastrophic cancellation (pos must stay f32 — ADVICE r2).
+    offset = np.asarray([30.0, -25.0, 12.0], np.float32)
+    x1 = jnp.asarray(offset + r.normal(size=(1, 128, 3)).astype(np.float32))
     x2 = jnp.asarray(x1 + 0.05 * r.normal(size=(1, 128, 3)).astype(np.float32))
 
     outs = {}

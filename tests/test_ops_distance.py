@@ -94,3 +94,23 @@ def test_ball_query_semantics(rng):
     # pad-with-first-hit: only point 0 is within radius 0.05
     idx = np.asarray(ops.ball_query(3, 0.05, ref, q))
     np.testing.assert_array_equal(idx[0, 0], [0, 0, 0])
+
+
+def test_three_nn_matches_oracle(rng):
+    """Standalone (dists, idx) 3-NN API vs a numpy oracle (ref
+    interpolate_gpu.cu:9-68 semantics: l2 (sqrt) distances, int32 indices)."""
+    from mocopci_tpu import ops
+
+    unknown = rng.normal(size=(2, 20, 3)).astype(np.float32)
+    known = rng.normal(size=(2, 15, 3)).astype(np.float32)
+    dists, idx = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    assert dists.shape == (2, 20, 3) and idx.shape == (2, 20, 3)
+    assert idx.dtype == jnp.int32
+    d_full = np.sqrt(
+        np.sum((unknown[:, :, None] - known[:, None]) ** 2, axis=-1)
+    )
+    want = np.sort(d_full, axis=-1)[..., :3]
+    np.testing.assert_allclose(np.sort(np.asarray(dists), -1), want,
+                               rtol=1e-4, atol=1e-5)
+    got_d = np.take_along_axis(d_full, np.asarray(idx), -1)
+    np.testing.assert_allclose(np.sort(got_d, -1), want, rtol=1e-4, atol=1e-5)

@@ -84,6 +84,22 @@ def test_attention_train_dropout_matches_reference_mask(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_dropout_mask_unique_across_groups():
+    # Regression (ADVICE r2): packing the group id as (g << 24) aliased masks
+    # for groups 256 apart; the full-width hash mix must keep them distinct.
+    from mocopci_tpu.ops.pallas.attention_train import keep_mask_reference
+
+    m0 = np.asarray(keep_mask_reference(7, 0, 32, 32, 0.3))
+    m256 = np.asarray(keep_mask_reference(7, 256, 32, 32, 0.3))
+    m1 = np.asarray(keep_mask_reference(7, 1, 32, 32, 0.3))
+    assert not np.array_equal(m0, m256)
+    assert not np.array_equal(m0, m1)
+    # reproducibility with the same (seed, g)
+    np.testing.assert_array_equal(
+        m0, np.asarray(keep_mask_reference(7, 0, 32, 32, 0.3))
+    )
+
+
 def test_attention_train_multi_tile_accumulation(rng):
     # N spans several q-tiles (tq=256) -> dk/dv accumulate across grid steps,
     # and the zero-padded tail rows must contribute nothing

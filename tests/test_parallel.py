@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mocopci_tpu.config import TrainConfig, tiny_model_config
 from mocopci_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
@@ -121,6 +122,7 @@ def test_sp_pointconv_matches_dense():
     assert np.abs(dense - sp).mean() < 2e-2 * scale
 
 
+@pytest.mark.stress
 def test_sp_pointconv_16k_stress():
     """BASELINE dense-stress band: 16k-point point-sharded grouped conv runs
     and stays finite on the virtual mesh (CPU wall-clock keeps this at 16k;
@@ -140,12 +142,12 @@ def test_sp_pointconv_16k_stress():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.stress
 def test_sp_pointconv_32k_stress():
     """Full 32k stress config (BASELINE config 5), opt-in: ~20 min on the
     virtual CPU mesh (the CPU row sort dominates; on real chips the fused
     Pallas kNN path runs instead).  RUN_STRESS=1 enables it."""
     import os
-    import pytest
 
     if not os.environ.get("RUN_STRESS"):
         pytest.skip("set RUN_STRESS=1 to run the 32k point-sharded forward")

@@ -347,20 +347,84 @@ class MultiFrameEstimator(nn.Module):
         neighbor = ops.group(points2, idx)                     # (FB,N,2k,3)
         fb, n, k2 = neighbor.shape[:3]
         if train:
-            resi = neighbor - points1[:, :, None, :]
-            # safe sqrt: zero-distance neighbours would give NaN grads otherwise
-            dist = jnp.sqrt(jnp.sum(resi * resi, axis=-1, keepdims=True) + 1e-20)
-            h = jnp.concatenate([resi, dist], axis=-1)         # (FB,N,2k,4)
+            # Transposed lane-dense planes, like the eval path below: the
+            # round-2 channels-last program ((FB,N,2k,64) tensors, C=64 on
+            # lanes at half occupancy) cost 97 ms fwd+bwd of the 275 ms B=2
+            # train step.  Statistics semantics are unchanged — BN batch
+            # stats + EMA run per frame group via FrameBatchNorm.grouped_cf,
+            # and sum(w)=1 makes the resi-plane blend identical to the
+            # reference's neighbour blend.  The dummy pass creates the dense
+            # params during init (same trick as the eval branch).
+            hd = jnp.zeros((1, 1, 1, 4), jnp.float32)
             for dense, bn in zip(self.fusion_dense, self.fusion_bn):
-                h = dense(h)
-                h = h.reshape((n_groups, fb // n_groups) + h.shape[1:])
-                h = bn(h, train)
-                h = h.reshape((fb,) + h.shape[2:])
-                h = nn.relu(h)
-            h = jnp.max(h, axis=-1)                            # max over channels
+                hd = dense(hd)
+                bn(hd, False)              # create BN params/stat variables
+            P = n * k2
+            cdt = compute_dtype()
+            n_t = neighbor.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
+                fb, 3, P
+            )
+            p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
+            resi_t = n_t - jnp.repeat(p1_t, k2, axis=-1).reshape(fb, 3, P)
+            # safe sqrt: zero-distance neighbours would give NaN grads otherwise
+            dist_t = jnp.sqrt(
+                jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
+            )
+            h = jnp.concatenate([resi_t, dist_t], axis=1)      # (FB,4,P)
+            if jax.default_backend() == "tpu":
+                # fused Pallas head: streaming stats + recompute sweeps with a
+                # custom VJP — the XLA program materializes every (FB, C, P)
+                # activation in HBM for itself and its backward
+                # (ops/pallas/fusion_head_train.py)
+                from mocopci_tpu.ops.pallas.fusion_head_train import (
+                    fusion_head_train,
+                )
+
+                p12 = []
+                for dense, bn in zip(self.fusion_dense, self.fusion_bn):
+                    dv = dense.variables["params"]
+                    bv = bn.variables["params"]
+                    p12 += [
+                        dv["kernel"].astype(jnp.float32),
+                        dv["bias"].astype(jnp.float32),
+                        bv["scale"], bv["bias"],
+                    ]
+                h, stats = fusion_head_train(h, tuple(p12), n_groups)
+                n_el = (fb // n_groups) * P
+                for bn, (mean_g, var_g) in zip(self.fusion_bn, stats):
+                    bn(
+                        jax.lax.stop_gradient(mean_g), True,
+                        ema_stats=(
+                            jax.lax.stop_gradient(mean_g),
+                            jax.lax.stop_gradient(var_g),
+                            n_el,
+                        ),
+                    )
+            else:
+                for dense, bn in zip(self.fusion_dense, self.fusion_bn):
+                    dv = dense.variables["params"]
+                    h = jnp.einsum(
+                        "gcp,cd->gdp",
+                        h.astype(cdt),
+                        dv["kernel"].astype(cdt),
+                        preferred_element_type=jnp.float32,
+                    ) + dv["bias"].astype(jnp.float32)[:, None]
+                    C = h.shape[1]
+                    h = bn(
+                        h.reshape(n_groups, fb // n_groups, C, P), True,
+                        grouped_cf=True,
+                    ).reshape(fb, C, P)
+                    h = nn.relu(h)
+                h = jnp.max(h, axis=1)                         # max over channels
             # blend weights and positions in f32 (coordinate precision)
-            w = jax.nn.softmax(h.astype(jnp.float32), axis=-1)
-            return jnp.sum(w[..., None] * neighbor, axis=2)    # (FB,N,3)
+            w = jax.nn.softmax(
+                h.astype(jnp.float32).reshape(fb, n, k2), axis=-1
+            )
+            blend = jnp.einsum(
+                "bnk,bcnk->bnc", w, resi_t.reshape(fb, 3, n, k2),
+                preferred_element_type=jnp.float32,
+            )
+            return points1.astype(jnp.float32) + blend         # (FB,N,3)
         else:
             # eval: fold the (running-stats) BatchNorms into the dense layers
             # and run the whole pair-MLP + channel-max as one Pallas kernel —

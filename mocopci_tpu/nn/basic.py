@@ -193,14 +193,62 @@ class FrameBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, grouped_cf: bool = False,
+                 ema_stats=None):
         in_dtype = x.dtype
         x = x.astype(jnp.float32)  # BN statistics need f32 accumulation
-        C = x.shape[-1]
+        C = x.shape[2] if grouped_cf else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
+
+        if ema_stats is not None:
+            # EMA-update-only mode for externally computed batch statistics
+            # (the fused train-path fusion-head kernel computes them on
+            # device): x is (F, C) per-group means (also the return value),
+            # ema_stats = (mean (F, C), biased_var (F, C), n_elements).
+            mean_g, var_g, n = ema_stats
+            if not self.is_initializing():
+                unbiased = var_g * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (
+                    (1 - m) * ra_mean.value + m * jnp.mean(mean_g, axis=0)
+                )
+                ra_var.value = (
+                    (1 - m) * ra_var.value + m * jnp.mean(unbiased, axis=0)
+                )
+            return x.astype(in_dtype)
+
+        if grouped_cf:
+            # Channels-FIRST twin for (G, B, C, P) planes: identical
+            # statistics semantics (per leading group item, over (B, P) per
+            # channel, same EMA updates) on the transposed lane-dense layout
+            # the fusion head's train path uses — a (…, C)-minor layout puts
+            # C=64 on lanes at half occupancy; (C, P) planes keep the huge
+            # pair axis lane-dense.
+            G, B, _, P = x.shape
+            if train:
+                mean = jnp.mean(x, axis=(1, 3))                # (G, C)
+                var = jnp.mean((x - mean[:, None, :, None]) ** 2, axis=(1, 3))
+                xn = (x - mean[:, None, :, None]) * jax.lax.rsqrt(
+                    var[:, None, :, None] + self.eps
+                )
+                if not self.is_initializing():
+                    n = B * P
+                    unbiased = var * (n / max(n - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (
+                        (1 - m) * ra_mean.value + m * jnp.mean(mean, axis=0)
+                    )
+                    ra_var.value = (
+                        (1 - m) * ra_var.value + m * jnp.mean(unbiased, axis=0)
+                    )
+            else:
+                xn = (x - ra_mean.value[:, None]) * jax.lax.rsqrt(
+                    ra_var.value[:, None] + self.eps
+                )
+            return (xn * scale[:, None] + bias[:, None]).astype(in_dtype)
 
         if train:
             axes = tuple(range(1, x.ndim - 1))

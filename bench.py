@@ -133,7 +133,7 @@ def main() -> None:
         )
 
     # approx-EMD per pair at eval scale and at the blocked stress sizes
-    emd_fn = jax.jit(lambda a, b: ops.earth_mover_distance(a, b)[0])
+    emd_fn = jax.jit(lambda a, b: ops.earth_mover_distance_auto(a, b)[0])
     extras["emd_8192_ms"] = round(_time(emd_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1)
     r = np.random.default_rng(0)
     for n in (16384, 32768):

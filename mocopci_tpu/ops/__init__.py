@@ -20,6 +20,7 @@ from mocopci_tpu.ops.distance import (
 from mocopci_tpu.ops.emd import (
     approx_match,
     earth_mover_distance,
+    earth_mover_distance_auto,
     earth_mover_distance_blocked,
     emd,
     match_cost,
@@ -52,6 +53,7 @@ __all__ = [
     "square_distance",
     "approx_match",
     "earth_mover_distance",
+    "earth_mover_distance_auto",
     "earth_mover_distance_blocked",
     "emd",
     "match_cost",

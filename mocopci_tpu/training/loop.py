@@ -135,6 +135,6 @@ def eval_step(
         metrics[f"cd_{j}"] = ops.chamfer_distance_per_sample(pred, gt_j)
         if with_emd:
             metrics[f"emd_{j}"] = (
-                ops.earth_mover_distance(pred, gt_j) / pred.shape[1]
+                ops.earth_mover_distance_auto(pred, gt_j) / pred.shape[1]
             )
     return metrics

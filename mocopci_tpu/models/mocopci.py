@@ -344,8 +344,17 @@ class MultiFrameEstimator(nn.Module):
         )
         idx_cross = ops.knn(k, points2, points1)
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
-        neighbor = ops.group(points2, idx)                     # (FB,N,2k,3)
-        fb, n, k2 = neighbor.shape[:3]
+        fb, n, k2 = idx.shape
+        # k-MAJOR pair ordering (p' = j·N + n, neighbour slot j on sublanes,
+        # point n on lanes): the per-point k2-group then occupies aligned
+        # (3, N) lane blocks, so the query broadcast is a tile-aligned
+        # concatenate (backward: aligned slice-sums) and the softmax/blend
+        # group reshapes are tile moves — the k-minor order made all of these
+        # strided 64-lane interleaves, ~16 ms of "transpose_jvp" fusions in
+        # the B=2 train-step backward.  The Pallas head kernels are
+        # order-agnostic over the pair axis.
+        idx_t = idx.transpose(0, 2, 1)                         # (FB,2k,N)
+        neighbor = ops.group(points2, idx_t)                   # (FB,2k,N,3)
         if train:
             # Transposed lane-dense planes, like the eval path below: the
             # round-2 channels-last program ((FB,N,2k,64) tensors, C=64 on
@@ -365,7 +374,7 @@ class MultiFrameEstimator(nn.Module):
                 fb, 3, P
             )
             p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
-            resi_t = n_t - jnp.repeat(p1_t, k2, axis=-1).reshape(fb, 3, P)
+            resi_t = n_t - jnp.tile(p1_t, (1, 1, k2))          # k-major repeat
             # safe sqrt: zero-distance neighbours would give NaN grads otherwise
             dist_t = jnp.sqrt(
                 jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
@@ -416,12 +425,15 @@ class MultiFrameEstimator(nn.Module):
                     ).reshape(fb, C, P)
                     h = nn.relu(h)
                 h = jnp.max(h, axis=1)                         # max over channels
-            # blend weights and positions in f32 (coordinate precision)
+            # blend weights and positions in f32 (coordinate precision);
+            # k-major: group axis k2 lands on sublanes of aligned (k2, N)
+            # tiles, so the softmax reduce and the blend contraction are
+            # sublane ops over lane-dense planes
             w = jax.nn.softmax(
-                h.astype(jnp.float32).reshape(fb, n, k2), axis=-1
+                h.astype(jnp.float32).reshape(fb, k2, n), axis=1
             )
             blend = jnp.einsum(
-                "bnk,bcnk->bnc", w, resi_t.reshape(fb, 3, n, k2),
+                "bkn,bckn->bnc", w, resi_t.reshape(fb, 3, k2, n),
                 preferred_element_type=jnp.float32,
             )
             return points1.astype(jnp.float32) + blend         # (FB,N,3)
@@ -458,7 +470,7 @@ class MultiFrameEstimator(nn.Module):
                 fb, 3, n * k2
             )
             p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
-            resi_t = n_t - jnp.repeat(p1_t, k2, axis=-1).reshape(fb, 3, n * k2)
+            resi_t = n_t - jnp.tile(p1_t, (1, 1, k2))          # k-major repeat
             dist_t = jnp.sqrt(
                 jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
             )
@@ -479,11 +491,11 @@ class MultiFrameEstimator(nn.Module):
             h = jax.lax.platform_dependent(
                 x_planes, *folded, tpu=tpu_path, default=default_path
             )
-            w = jax.nn.softmax(h.reshape(fb, n, k2), axis=-1)  # (FB,N,2k)
+            w = jax.nn.softmax(h.reshape(fb, k2, n), axis=1)   # (FB,2k,N)
             # softmax weights sum to 1, so Σ w·neighbor = p1 + Σ w·resi —
             # the blend stays on the wide resi planes (no narrow-lane pass)
             blend = jnp.einsum(
-                "bnk,bcnk->bnc", w, resi_t.reshape(fb, 3, n, k2),
+                "bkn,bckn->bnc", w, resi_t.reshape(fb, 3, k2, n),
                 preferred_element_type=jnp.float32,
             )
             return points1.astype(jnp.float32) + blend         # (FB,N,3)

@@ -7,6 +7,7 @@ One library replaces both copies of the reference's CUDA extension
 from mocopci_tpu.ops.ball_query import ball_query
 from mocopci_tpu.ops.chamfer import (
     chamfer_distance,
+    chamfer_many,
     chamfer_distance_blocked,
     chamfer_distance_per_sample,
 )
@@ -44,6 +45,7 @@ from mocopci_tpu.ops.sampling import (
 __all__ = [
     "ball_query",
     "chamfer_distance",
+    "chamfer_many",
     "chamfer_distance_blocked",
     "chamfer_distance_per_sample",
     "cosine_distance",

@@ -80,6 +80,49 @@ def chamfer_distance_per_sample(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
     return d12 + d21
 
 
+def chamfer_many(pairs) -> jax.Array:
+    """Batch-mean Chamfer for MANY same-shape pairs in ONE kernel launch.
+
+    The reference loss (``train.py:135-160``) makes ~33 separate
+    ``chamfer_loss`` calls per step (per frame × per scale × fwd/bwd); as
+    individual 1-NN queries those cost ~66 small Pallas launches whose fixed
+    overhead dominates at the pyramid sizes (measured ~42 ms of
+    ``fused_knn_pallas`` per B=2 train step, most of it launch-bound).  Here
+    all pairs of one shape fold into a single (2·K·B) 1-NN launch: queries
+    are [preds; gts], references [gts; preds], so both Chamfer directions
+    ride the same kernel call.
+
+    Args:
+      pairs: sequence of (pc1 (B, N, 3), pc2 (B, N, 3)) — identical shapes.
+    Returns:
+      (K,) — ``chamfer_distance(pc1, pc2)`` per pair.
+    """
+    K = len(pairs)
+    B = pairs[0][0].shape[0]
+    src = jnp.concatenate(
+        [p for p, _ in pairs] + [q for _, q in pairs], axis=0
+    )                                                   # (2KB, N, 3)
+    dst = jnp.concatenate(
+        [q for _, q in pairs] + [p for p, _ in pairs], axis=0
+    )
+
+    def tpu_path(src, dst):
+        return _directed_min(src, dst)
+
+    def default_path(src, dst):
+        # dense (N, M) per element, sequential over the folded batch so the
+        # peak is one matrix (the all-at-once dense path would be
+        # 2KB·N² floats)
+        return lax.map(
+            lambda sd: jnp.min(square_distance(sd[0][None], sd[1][None])[0], axis=-1),
+            (src, dst),
+        )
+
+    d = lax.platform_dependent(src, dst, tpu=tpu_path, default=default_path)
+    m = jnp.mean(d, axis=1).reshape(2, K, B)            # per-cloud means
+    return jnp.mean(m[0] + m[1], axis=-1)               # (K,)
+
+
 @functools.partial(jax.jit, static_argnums=2)
 def chamfer_distance_blocked(pc1: jax.Array, pc2: jax.Array, block: int = 2048) -> jax.Array:
     """Memory-bounded Chamfer for large clouds.

@@ -120,6 +120,11 @@ def _flat_row_gather_bwd(res, g):
     idx, (B, N, C) = res
     g2 = g.reshape(B, -1, C)
     i2 = idx.reshape(B, -1)
+    # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
+    # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
+    # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;
+    # XLA's TPU scatter emitter is slow at any size, it just gets *worse*
+    # past ~2M/element.  The loop stays.
     grads = [
         jnp.zeros((N, C), g.dtype).at[i2[b]].add(
             g2[b], mode="drop", unique_indices=False

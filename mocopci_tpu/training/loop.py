@@ -34,7 +34,17 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    """Global-norm clip (2.0, ref ``train.py:166``) + AdamW with clipped StepLR."""
+    """Global-norm clip (2.0, ref ``train.py:166``) + AdamW with clipped StepLR.
+
+    Wrapped in ``optax.flatten``: the update then runs on ONE concatenated
+    vector instead of ~150 parameter leaves — each leaf otherwise becomes its
+    own handful of sub-100µs XLA fusions, pure per-op overhead on TPU
+    (the B=2 train-step trace shows a multi-ms tail of such ops).
+    """
+    return optax.flatten(_make_optimizer_inner(cfg, steps_per_epoch))
+
+
+def _make_optimizer_inner(cfg: TrainConfig, steps_per_epoch: int):
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(

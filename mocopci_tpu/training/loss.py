@@ -46,27 +46,43 @@ def mocopci_loss(
     Returns:
       (total loss, dict of components).
     """
-    F = gt.shape[1]
-    cd = ops.chamfer_distance
+    B, F = gt.shape[:2]
     alpha = train_cfg.alpha
-
-    loss_f = sum(cd(result["out"][:, j], gt[:, j]) for j in range(F))
 
     pyr = gt_pyramid(gt, model_cfg)
     frames_f, frames_b = result["frames_f"], result["frames_b"]
 
-    loss_s_f = loss_s_b = 0.0
+    def fold(x):  # (B, F, n, 3) -> (B·F, n, 3)
+        return x.reshape(B * F, x.shape[2], 3)
+
+    # The reference sums per-frame batch-mean CDs; with equal-sized means,
+    # Σ_j mean_B(·) = F · mean_{B·F}(·), so every per-frame python-loop call
+    # folds into the batch axis, and all pairs of one cloud size share ONE
+    # batched 1-NN launch (ops.chamfer_many) — 4 launches/step instead of 66.
+    gt0 = fold(pyr[0])
+    cd8k = ops.chamfer_many(
+        [
+            (fold(result["out"]), gt0),
+            (fold(frames_f[0]), gt0),
+            (fold(frames_f[1]), gt0),
+            (fold(frames_b[0]), gt0),
+            (fold(frames_b[1]), gt0),
+        ]
+    ) * F
+    loss_f = cd8k[0]
+    loss_s_f = train_cfg.w_straight * (cd8k[1] + cd8k[2])
+    loss_s_b = train_cfg.w_straight * (cd8k[3] + cd8k[4])
+
     loss_m_f = loss_m_b = 0.0
-    for j in range(F):
-        loss_s_f += train_cfg.w_straight * (
-            cd(frames_f[0][:, j], pyr[0][:, j]) + cd(frames_f[1][:, j], pyr[0][:, j])
-        )
-        loss_s_b += train_cfg.w_straight * (
-            cd(frames_b[0][:, j], pyr[0][:, j]) + cd(frames_b[1][:, j], pyr[0][:, j])
-        )
-        for l in range(len(alpha) - 1):
-            loss_m_f += alpha[l + 1] * cd(frames_f[l + 2][:, j], pyr[l + 1][:, j])
-            loss_m_b += alpha[l + 1] * cd(frames_b[l + 2][:, j], pyr[l + 1][:, j])
+    for l in range(len(alpha) - 1):
+        cdl = ops.chamfer_many(
+            [
+                (fold(frames_f[l + 2]), fold(pyr[l + 1])),
+                (fold(frames_b[l + 2]), fold(pyr[l + 1])),
+            ]
+        ) * F
+        loss_m_f += alpha[l + 1] * cdl[0]
+        loss_m_b += alpha[l + 1] * cdl[1]
 
     total = (
         loss_f

@@ -40,6 +40,7 @@ def test_dp_train_step_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow  # ~4 min on the 1-core host (B=8 single-device + mesh steps)
 def test_dp_matches_single_device():
     """The mesh-sharded step must produce the same loss as single-device."""
     cfg = tiny_model_config(64)

@@ -31,6 +31,7 @@ def _init_and_clouds(cfg, B, seed=0):
     return model, variables, x1, x2
 
 
+@pytest.mark.slow  # ~10 min on the 1-core CPU-mesh host (two full compiles)
 def test_sp_forward_matches_dense_tiny():
     cfg = tiny_model_config(128)
     model, variables, x1, x2 = _init_and_clouds(cfg, B=2)

@@ -59,6 +59,31 @@ def _directed_min(src: jax.Array, dst: jax.Array) -> jax.Array:
     return lax.platform_dependent(src, dst, tpu=nn_path, default=dense_path)
 
 
+def _pair_means(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
+    """Per-sample bidirectional Chamfer (B,) — one shared distance sweep.
+
+    TPU (tileable sizes): the ``chamfer_pair`` Pallas kernel computes BOTH
+    directed minima from one (N, M) distance evaluation and its VJP scatters
+    via one-hot accumulation tiles (ops/pallas/chamfer_pair.py).  Elsewhere
+    (and for sizes off the kernel's grid): two directed mins.
+    """
+    from mocopci_tpu.ops.pallas import chamfer_pair as cp
+
+    def default_path(pc1, pc2):
+        return jnp.mean(_directed_min(pc1, pc2), axis=1) + jnp.mean(
+            _directed_min(pc2, pc1), axis=1
+        )
+
+    if not cp.supported(pc1.shape[1], pc2.shape[1]):
+        return default_path(pc1, pc2)
+
+    def tpu_path(pc1, pc2):
+        d12, d21 = cp.chamfer_pair(pc1, pc2)
+        return jnp.mean(d12, axis=1) + jnp.mean(d21, axis=1)
+
+    return lax.platform_dependent(pc1, pc2, tpu=tpu_path, default=default_path)
+
+
 @jax.jit
 def chamfer_distance(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
     """Bidirectional Chamfer distance, scalar (batch mean).
@@ -67,17 +92,13 @@ def chamfer_distance(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
       pc1: (B, N, 3)
       pc2: (B, M, 3)
     """
-    d12 = jnp.mean(_directed_min(pc1, pc2), axis=1)  # (B,)
-    d21 = jnp.mean(_directed_min(pc2, pc1), axis=1)
-    return jnp.mean(d12 + d21)
+    return jnp.mean(_pair_means(pc1, pc2))
 
 
 @jax.jit
 def chamfer_distance_per_sample(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
     """Per-sample bidirectional Chamfer: (B,). Used by the eval loop."""
-    d12 = jnp.mean(_directed_min(pc1, pc2), axis=1)
-    d21 = jnp.mean(_directed_min(pc2, pc1), axis=1)
-    return d12 + d21
+    return _pair_means(pc1, pc2)
 
 
 def chamfer_many(pairs) -> jax.Array:
@@ -99,28 +120,33 @@ def chamfer_many(pairs) -> jax.Array:
     """
     K = len(pairs)
     B = pairs[0][0].shape[0]
-    src = jnp.concatenate(
-        [p for p, _ in pairs] + [q for _, q in pairs], axis=0
-    )                                                   # (2KB, N, 3)
-    dst = jnp.concatenate(
-        [q for _, q in pairs] + [p for p, _ in pairs], axis=0
-    )
+    src = jnp.concatenate([p for p, _ in pairs], axis=0)   # (KB, N, 3)
+    dst = jnp.concatenate([q for _, q in pairs], axis=0)   # (KB, M, 3)
+
+    from mocopci_tpu.ops.pallas import chamfer_pair as cp
+
+    if not cp.supported(src.shape[1], dst.shape[1]):
+        per = _pair_means(src, dst)
+        return jnp.mean(per.reshape(K, B), axis=-1)
 
     def tpu_path(src, dst):
-        return _directed_min(src, dst)
+        d12, d21 = cp.chamfer_pair(src, dst)
+        return jnp.mean(d12, axis=1) + jnp.mean(d21, axis=1)
 
     def default_path(src, dst):
         # dense (N, M) per element, sequential over the folded batch so the
         # peak is one matrix (the all-at-once dense path would be
-        # 2KB·N² floats)
-        return lax.map(
-            lambda sd: jnp.min(square_distance(sd[0][None], sd[1][None])[0], axis=-1),
-            (src, dst),
-        )
+        # KB·N² floats)
+        def one(sd):
+            dmat = square_distance(sd[0][None], sd[1][None])[0]
+            return jnp.mean(jnp.min(dmat, axis=-1)) + jnp.mean(
+                jnp.min(dmat, axis=-2)
+            )
 
-    d = lax.platform_dependent(src, dst, tpu=tpu_path, default=default_path)
-    m = jnp.mean(d, axis=1).reshape(2, K, B)            # per-cloud means
-    return jnp.mean(m[0] + m[1], axis=-1)               # (K,)
+        return lax.map(one, (src, dst))
+
+    per = lax.platform_dependent(src, dst, tpu=tpu_path, default=default_path)
+    return jnp.mean(per.reshape(K, B), axis=-1)            # (K,)
 
 
 @functools.partial(jax.jit, static_argnums=2)

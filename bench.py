@@ -87,6 +87,13 @@ def main() -> None:
     t_b2 = _time(fwd, variables, x1, x2)
     extras["pairs_per_sec_b2"] = round(2.0 / t_b2, 3)
 
+    # batch-4: the throughput-optimal serving batch (latency amortizes once
+    # no (B, 8192²) intermediates remain; b1 stays the headline latency)
+    x4a = jnp.concatenate([x1, x1])
+    x4b = jnp.concatenate([x2, x2])
+    t_b4 = _time(fwd, variables, x4a, x4b, iters=5, warmup=2)
+    extras["pairs_per_sec_b4"] = round(4.0 / t_b4, 3)
+
     # exact-kNN eval latency (parity-grade metric runs use this mode)
     ops.set_knn_mode("exact")
     fwd_exact = jax.jit(lambda v, a, b: forward(v, a, b))

@@ -339,10 +339,15 @@ class MultiFrameEstimator(nn.Module):
         points1) as the self-kNN reference.
         """
         k = self.cfg.fusion_k
-        idx_self = ops.knn(
-            k, points1 if points1_self_ref is None else points1_self_ref, points1
+        # ONE batched kNN launch for both the self- and cross-neighbour sets
+        # (2·FB clouds in a single kernel grid instead of two launches)
+        self_ref = points1 if points1_self_ref is None else points1_self_ref
+        idx_both = ops.knn(
+            k,
+            jnp.concatenate([self_ref, points2], axis=0),
+            jnp.concatenate([points1, points1], axis=0),
         )
-        idx_cross = ops.knn(k, points2, points1)
+        idx_self, idx_cross = jnp.split(idx_both, 2, axis=0)
         idx = jnp.concatenate([idx_self, idx_cross], axis=-1)
         fb, n, k2 = idx.shape
         # k-MAJOR pair ordering (p' = j·N + n, neighbour slot j on sublanes,
@@ -354,7 +359,25 @@ class MultiFrameEstimator(nn.Module):
         # the B=2 train-step backward.  The Pallas head kernels are
         # order-agnostic over the pair axis.
         idx_t = idx.transpose(0, 2, 1)                         # (FB,2k,N)
-        neighbor = ops.group(points2, idx_t)                   # (FB,2k,N,3)
+        P = n * k2
+        # flat k-major neighbour ROWS — the 3-minor tensor is never touched
+        # elementwise on TPU: the pair planes are built by a Pallas sweep that
+        # transposes (R, 3) row blocks on the MXU (fusion_planes.py); the XLA
+        # twin below keeps CPU and tiny shapes on the same math
+        nbr_rows = ops.gather(
+            points2.astype(jnp.float32), idx_t.reshape(fb, P)
+        )                                                      # (FB,P,3)
+        p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
+        from mocopci_tpu.ops.pallas.fusion_planes import (
+            build_pair_planes,
+            build_pair_planes_xla,
+        )
+
+        if jax.default_backend() == "tpu" and n % 128 == 0:
+            x_planes = build_pair_planes(nbr_rows, p1_t)       # (FB,4,P)
+        else:
+            x_planes = build_pair_planes_xla(nbr_rows, p1_t)
+        resi_t = x_planes[:, :3]
         if train:
             # Transposed lane-dense planes, like the eval path below: the
             # round-2 channels-last program ((FB,N,2k,64) tensors, C=64 on
@@ -368,18 +391,8 @@ class MultiFrameEstimator(nn.Module):
             for dense, bn in zip(self.fusion_dense, self.fusion_bn):
                 hd = dense(hd)
                 bn(hd, False)              # create BN params/stat variables
-            P = n * k2
             cdt = compute_dtype()
-            n_t = neighbor.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
-                fb, 3, P
-            )
-            p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
-            resi_t = n_t - jnp.tile(p1_t, (1, 1, k2))          # k-major repeat
-            # safe sqrt: zero-distance neighbours would give NaN grads otherwise
-            dist_t = jnp.sqrt(
-                jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
-            )
-            h = jnp.concatenate([resi_t, dist_t], axis=1)      # (FB,4,P)
+            h = x_planes                                       # (FB,4,P)
             if jax.default_backend() == "tpu":
                 # fused Pallas head: streaming stats + recompute sweeps with a
                 # custom VJP — the XLA program materializes every (FB, C, P)
@@ -462,20 +475,11 @@ class MultiFrameEstimator(nn.Module):
                         bp["scale"], bp["bias"], bs["mean"], bs["var"], bn.eps,
                     )
                 )
-            # the whole eval head runs TRANSPOSED: one relayout of the gather
-            # output to (FB, 3, N·2k) planes, then every pass is lane-dense —
-            # a pairs-minor (.., 3/4) layout pads each lane tile 3/128 and the
+            # the whole eval head runs TRANSPOSED: the Pallas plane build
+            # above emits (FB, 4, N·2k) lane-dense planes straight from the
+            # gathered rows, then every pass is lane-dense — a pairs-minor
+            # (.., 3/4) layout pads each lane tile 3/128 and the
             # resi/dist/blend passes cost ~30x their bytes (measured)
-            n_t = neighbor.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
-                fb, 3, n * k2
-            )
-            p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
-            resi_t = n_t - jnp.tile(p1_t, (1, 1, k2))          # k-major repeat
-            dist_t = jnp.sqrt(
-                jnp.sum(resi_t * resi_t, axis=1, keepdims=True) + 1e-20
-            )
-            x_planes = jnp.concatenate([resi_t, dist_t], axis=1)  # (FB,4,N·2k)
-
             def tpu_path(x, *wb):
                 return fusion_head_pallas(x, *wb)
 

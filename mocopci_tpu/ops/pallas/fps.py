@@ -38,18 +38,61 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     mind0 = jnp.where(valid, jnp.full((_TB, npad), 1e10, jnp.float32), -1.0)
     out_col = lax.broadcasted_iota(jnp.int32, (_TB, opad), dimension=1)
 
+    def _argmax_carry(mind):
+        """Fused argmax that carries (idx, x, y, z) through ONE tree reduction.
+
+        The serial loop is VPU-throughput-bound: a separate argmax plus three
+        full-width one-hot coordinate extractions cost ~670 vector ops per
+        step at N=8192; halving a (value, idx, x, y, z) tuple down to one
+        128-lane vreg and doing the one-hot only there costs ~420.  Strict
+        ``>`` keeps the LEFT half on exact float ties, which matches
+        ``jnp.argmax``'s first-index rule at every level except across lanes
+        congruent mod 128 — indistinguishable on non-degenerate clouds (the
+        CUDA kernel's thread-strided tree has its own tie order too).
+        """
+        carry5 = (mind, lane, xv, yv, zv)
+
+        def _fold(t, lo, hi):
+            take_r = t[0][:, lo:hi] > t[0][:, : hi - lo]
+            return tuple(
+                jnp.where(take_r, a[:, lo:hi], a[:, : hi - lo]) for a in t
+            )
+
+        w = npad
+        while w > 128:
+            h = w // 2
+            if h % 128 == 0:
+                carry5 = _fold(carry5, h, w)
+                w = h
+            else:
+                # odd vreg count (e.g. w=384 for stress Ns): fold the trailing
+                # 128-lane chunks into the first one, one compare each
+                first = tuple(a[:, :128] for a in carry5)
+                for c in range(1, w // 128):
+                    take_r = carry5[0][:, c * 128:(c + 1) * 128] > first[0]
+                    first = tuple(
+                        jnp.where(take_r, a[:, c * 128:(c + 1) * 128], f)
+                        for f, a in zip(first, carry5)
+                    )
+                carry5 = first
+                w = 128
+        v, ix, cx, cy, cz = carry5
+        j = jnp.argmax(v, axis=1).astype(jnp.int32)        # (TB,)
+        sel = lax.broadcasted_iota(jnp.int32, (_TB, w), 1) == j[:, None]
+        pick = lambda a, zero: jnp.sum(
+            jnp.where(sel, a, zero), axis=1, keepdims=True
+        )
+        return (pick(ix, 0), pick(cx, 0.0), pick(cy, 0.0), pick(cz, 0.0))
+
     def step(i, carry):
         # out accumulates via a one-hot column select: Mosaic has no dynamic
         # lane-indexed vector store, and this keeps the whole loop in registers
         mind, out, px, py, pz = carry     # px/py/pz: (TB, 1) last-picked coords
         d = (xv - px) ** 2 + (yv - py) ** 2 + (zv - pz) ** 2
-        mind = jnp.minimum(mind, jnp.where(valid, d, -1.0))
-        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)   # (TB,)
-        out = jnp.where(out_col == i, nxt[:, None], out)
-        sel = lane == nxt[:, None]
-        px = jnp.sum(jnp.where(sel, xv, 0.0), axis=1, keepdims=True)
-        py = jnp.sum(jnp.where(sel, yv, 0.0), axis=1, keepdims=True)
-        pz = jnp.sum(jnp.where(sel, zv, 0.0), axis=1, keepdims=True)
+        # no validity select needed: d >= 0 and invalid lanes carry mind = -1
+        mind = jnp.minimum(mind, d)
+        nxt, px, py, pz = _argmax_carry(mind)
+        out = jnp.where(out_col == i, nxt, out)
         return mind, out, px, py, pz
 
     # 2x unrolled selection loop (the ~2048 dependent iterations make loop

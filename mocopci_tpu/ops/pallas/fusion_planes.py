@@ -1,0 +1,190 @@
+"""Pallas build of the fusion-head pair planes from gathered neighbour rows.
+
+The fusion head (ref ``fusion``, ``mocopci.py:798-819``) scores every
+(query, neighbour) pair with an MLP over ``[resi, |resi|]`` features.  Our
+head kernels (``fusion_head.py`` / ``fusion_head_train.py``) consume those
+features as lane-dense ``(G, 4, P)`` planes (P = N·2k pairs, k-major).  The
+XLA construction of the planes —
+
+    rows (G, P, 3)  --transpose-->  (G, 3, P)  --sub/dist/concat-->  (G, 4, P)
+
+— is the single most expensive non-matmul block of the B=2 train step: the
+``(…, 3)``-minor tensors occupy 3 of 128 lanes, so the relayout and every
+elementwise pass over them costs ~30-40× its bytes, and the backward replays
+it all as ``transpose_jvp`` fusions (~19 ms forward + ~16 ms backward of the
+69 ms fusion block, device-trace numbers in docs/DESIGN.md §3).
+
+This kernel replaces the whole build with ONE streaming sweep (and one for
+the backward):
+
+  forward:  per (group, slot j, point chunk) read the ``(R, 3)`` neighbour
+            row block, transpose it on the MXU (a K=3 ``dot_general`` with a
+            constant identity — the 3-wide axis never touches the VPU as a
+            lane axis), subtract the aligned ``(3, R)`` query plane slice,
+            reduce the squared sum over 3 *sublanes* for the distance row,
+            and write the finished ``(4, R)`` plane tile.
+  backward: recompute resi/dist, form ``d_resi = dx[0:3] + dx[3] · resi/dist``,
+            transpose back to a ``(R, 3)`` row-gradient block, and accumulate
+            ``d_p1ᵗ -= Σ_j d_resi`` into a per-chunk plane block (slot axis
+            innermost in the grid, so the accumulator block is revisited on
+            consecutive grid steps).
+
+The neighbour-row gather itself stays in XLA (``ops.gather`` — row gathers
+run at hardware rate and its deterministic per-batch scatter-add VJP handles
+d_points2); only the layout change and elementwise algebra move in here.
+
+k-major pair order (p = j·N + n) is what makes the kernel this shape: a
+``(R, 3)`` row block at pair offset j·N + t·R corresponds to the aligned
+query slice ``p1ᵗ[:, t·R : t·R+R]``, so the query broadcast is a block reuse,
+not a gather.
+
+Dispatched in ``models/mocopci.py`` when running on TPU with N a multiple of
+128; the plain XLA program remains the CPU twin and the fallback for tiny
+shapes.  Interpret-mode parity tests: ``tests/test_fusion_planes.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-20  # under the sqrt: zero-distance pairs must not NaN the grad
+
+
+def _block_r(n: int) -> int:
+    # largest 128-multiple divisor of N up to 8192: a (8192, 3) row block is
+    # 4 MB of (lane-padded) VMEM, and one grid step per (group, slot) keeps
+    # the step count at G·k2 instead of thousands of 2k-row steps
+    if n % 128 != 0:
+        raise ValueError(
+            f"build_pair_planes needs N % 128 == 0, got N={n}; "
+            "use the XLA plane build for tiny shapes"
+        )
+    for cand in range(min(n, 8192), 0, -128):
+        if n % cand == 0:
+            return cand
+    raise AssertionError(n)
+
+
+def _eye(n: int):
+    r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _rows_to_planes(rows):
+    # (R, 3) -> (3, R) as a K=3 matmul: out[i, r] = Σ_c eye[i, c]·rows[r, c]
+    return lax.dot_general(
+        _eye(3), rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _planes_to_rows(planes):
+    # (3, R) -> (R, 3): out[r, j] = Σ_c planes[c, r]·eye[c, j]
+    return lax.dot_general(
+        planes, _eye(3),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _resi_dist(nbr_ref, p1t_ref):
+    resi = _rows_to_planes(nbr_ref[0]) - p1t_ref[0]        # (3, R)
+    dist = jnp.sqrt(jnp.sum(resi * resi, axis=0, keepdims=True) + _EPS)
+    return resi, dist
+
+
+def _fwd_kernel(nbr_ref, p1t_ref, x_ref):
+    resi, dist = _resi_dist(nbr_ref, p1t_ref)
+    x_ref[0] = jnp.concatenate([resi, dist], axis=0)       # (4, R)
+
+
+def _bwd_kernel(nbr_ref, p1t_ref, dx_ref, dnbr_ref, dp1t_ref):
+    j = pl.program_id(2)
+    resi, dist = _resi_dist(nbr_ref, p1t_ref)
+    dx = dx_ref[0]                                         # (4, R)
+    d_resi = dx[0:3] + dx[3:4] * (resi / dist)
+    dnbr_ref[0] = _planes_to_rows(d_resi)
+
+    @pl.when(j == 0)
+    def _init():
+        dp1t_ref[...] = jnp.zeros_like(dp1t_ref)
+
+    dp1t_ref[0] -= d_resi
+
+
+def _specs(G, N, P, R):
+    NT = N // R
+    nbr = pl.BlockSpec((1, R, 3), lambda g, t, j: (g, j * NT + t, 0),
+                       memory_space=pltpu.VMEM)
+    p1t = pl.BlockSpec((1, 3, R), lambda g, t, j: (g, 0, t),
+                       memory_space=pltpu.VMEM)
+    x = pl.BlockSpec((1, 4, R), lambda g, t, j: (g, 0, j * NT + t),
+                     memory_space=pltpu.VMEM)
+    return nbr, p1t, x, (G, NT, P // N)
+
+
+def build_pair_planes(nbr, p1t, interpret: bool = False):
+    """(G, P, 3) k-major neighbour rows + (G, 3, N) query planes ->
+    (G, 4, P) ``[resi_xyz, dist]`` pair planes (differentiable)."""
+    return _bpp(nbr, p1t, bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bpp(nbr, p1t, interpret):
+    return _bpp_fwd(nbr, p1t, interpret)[0]
+
+
+def _bpp_fwd(nbr, p1t, interpret):
+    G, P, _ = nbr.shape
+    N = p1t.shape[2]
+    assert P % N == 0, (P, N)
+    R = _block_r(N)
+    nbr_s, p1t_s, x_s, grid = _specs(G, N, P, R)
+    x = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[nbr_s, p1t_s],
+        out_specs=x_s,
+        out_shape=jax.ShapeDtypeStruct((G, 4, P), jnp.float32),
+        interpret=interpret,
+    )(nbr, p1t)
+    return x, (nbr, p1t)
+
+
+def _bpp_bwd(interpret, res, dx):
+    nbr, p1t = res
+    G, P, _ = nbr.shape
+    N = p1t.shape[2]
+    R = _block_r(N)
+    nbr_s, p1t_s, x_s, grid = _specs(G, N, P, R)
+    d_nbr, d_p1t = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[nbr_s, p1t_s, x_s],
+        out_specs=[nbr_s, p1t_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nbr, p1t, dx)
+    return d_nbr, d_p1t
+
+
+_bpp.defvjp(_bpp_fwd, _bpp_bwd)
+
+
+def build_pair_planes_xla(nbr, p1t):
+    """CPU/tiny-shape twin: the plain XLA plane build from the same inputs."""
+    G, P, _ = nbr.shape
+    k2 = P // p1t.shape[2]
+    resi = nbr.transpose(0, 2, 1) - jnp.tile(p1t, (1, 1, k2))
+    dist = jnp.sqrt(jnp.sum(resi * resi, axis=1, keepdims=True) + _EPS)
+    return jnp.concatenate([resi, dist], axis=1)

@@ -1,0 +1,67 @@
+"""Interpret-mode checks of the pair-plane build kernel
+(ops/pallas/fusion_planes.py) against its XLA twin — values and gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mocopci_tpu.ops.pallas.fusion_planes import (
+    build_pair_planes,
+    build_pair_planes_xla,
+)
+
+
+def _make(G=2, N=128, k2=3, seed=0):
+    r = np.random.default_rng(seed)
+    nbr = jnp.asarray(r.normal(size=(G, N * k2, 3)).astype(np.float32) * 8)
+    p1t = jnp.asarray(r.normal(size=(G, 3, N)).astype(np.float32) * 8)
+    return nbr, p1t
+
+
+@pytest.mark.parametrize("N,k2", [(128, 1), (128, 3), (256, 2)])
+def test_forward_matches_twin(N, k2):
+    nbr, p1t = _make(N=N, k2=k2)
+    x = build_pair_planes(nbr, p1t, interpret=True)
+    x_t = build_pair_planes_xla(nbr, p1t)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_twin():
+    nbr, p1t = _make(N=128, k2=2, seed=1)
+    # non-symmetric downstream function so both plane rows get distinct grads
+    r = np.random.default_rng(2)
+    w = jnp.asarray(r.normal(size=(2, 4, 256)).astype(np.float32))
+
+    def loss(f):
+        def inner(nbr, p1t):
+            x = f(nbr, p1t)
+            return jnp.sum(x * jnp.tile(w, (1, 1, x.shape[2] // 256)))
+        return inner
+
+    g = jax.grad(loss(lambda a, b: build_pair_planes(a, b, interpret=True)),
+                 argnums=(0, 1))(nbr, p1t)
+    g_t = jax.grad(loss(build_pair_planes_xla), argnums=(0, 1))(nbr, p1t)
+    for a, b in zip(g, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_zero_distance_pair_grad_finite():
+    """A neighbour equal to its query (dist=0) must not NaN the backward."""
+    G, N, k2 = 1, 128, 1
+    r = np.random.default_rng(3)
+    p1 = r.normal(size=(G, N, 3)).astype(np.float32)
+    p1t = jnp.asarray(p1.transpose(0, 2, 1))
+    nbr = jnp.asarray(p1.copy())                     # every pair coincides
+
+    g = jax.grad(
+        lambda a, b: jnp.sum(build_pair_planes(a, b, interpret=True))
+    )(nbr, p1t)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rejects_unaligned_n():
+    nbr, p1t = _make(N=128, k2=1)
+    with pytest.raises(ValueError):
+        build_pair_planes(nbr[:, :60, :], p1t[:, :, :60], interpret=True)

@@ -35,6 +35,16 @@ def test_fps_pallas_interpret_matches_oracle(rng):
     np.testing.assert_array_equal(got, _np_fps(xyz, 32))
 
 
+def test_fps_pallas_odd_vreg_width_matches_oracle(rng):
+    # npad=384 -> the tree reduction's halving is not 128-aligned and the
+    # chunk-fold branch engages (stress-size Ns land here)
+    xyz = rng.normal(size=(2, 384, 3)).astype(np.float32)
+    got = np.asarray(
+        farthest_point_sample_pallas(jnp.asarray(xyz), 24, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _np_fps(xyz, 24))
+
+
 def test_fps_covers_cloud(rng):
     # farthest-point property: no duplicates while npoint <= N distinct pts
     xyz = rng.normal(size=(1, 100, 3)).astype(np.float32)

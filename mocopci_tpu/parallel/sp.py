@@ -21,15 +21,15 @@ from jax import shard_map
 from mocopci_tpu import ops
 from mocopci_tpu.ops.distance import square_distance
 
+# Every public function here builds jit(shard_map(...)) and caches it on its
+# static arguments (Mesh and flax Modules are hashable).  Eager shard_map
+# dispatch would bypass BOTH the in-process jit cache (the closure is rebuilt
+# per call) and the persistent compilation cache — measured 10-50x process
+# wall-time overhead on the CPU mesh for the composed forward.
 
-def chamfer_distance_sp(mesh: Mesh, pc1: jax.Array, pc2: jax.Array) -> jax.Array:
-    """Bidirectional Chamfer with the point axis sharded over mesh axis 'model'.
 
-    Both directions shard their query axis; each device all-gathers the other
-    cloud once, then reduces its (B, N/p, M) block locally.  Collectives: two
-    all_gathers up front plus the final psum of per-shard partial sums.
-    """
-
+@functools.lru_cache(maxsize=None)
+def _cham_jit(mesh: Mesh):
     def directed(src, dst):
         # src sharded on points, dst replicated -> per-shard sum of min dists
         d = jnp.min(square_distance(src, dst), axis=-1)       # (B, N/p)
@@ -51,7 +51,17 @@ def chamfer_distance_sp(mesh: Mesh, pc1: jax.Array, pc2: jax.Array) -> jax.Array
         d21 = directed(p2, p1_full) / m
         return jnp.mean(d12 + d21)
 
-    return _cham(pc1, pc2)
+    return jax.jit(_cham)
+
+
+def chamfer_distance_sp(mesh: Mesh, pc1: jax.Array, pc2: jax.Array) -> jax.Array:
+    """Bidirectional Chamfer with the point axis sharded over mesh axis 'model'.
+
+    Both directions shard their query axis; each device all-gathers the other
+    cloud once, then reduces its (B, N/p, M) block locally.  Collectives: two
+    all_gathers up front plus the final psum of per-shard partial sums.
+    """
+    return _cham_jit(mesh)(pc1, pc2)
 
 
 def knn_sp(mesh: Mesh, k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
@@ -65,7 +75,11 @@ def knn_sp(mesh: Mesh, k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
       ref:   (B, M, C) — sharded on points like query (gathered internally).
       query: (B, N, C) — N must divide by the 'model' axis size.
     """
+    return _knn_jit(mesh, k)(ref, query)
 
+
+@functools.lru_cache(maxsize=None)
+def _knn_jit(mesh: Mesh, k: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -77,7 +91,7 @@ def knn_sp(mesh: Mesh, k: int, ref: jax.Array, query: jax.Array) -> jax.Array:
         ref_full = jax.lax.all_gather(ref_s, "model", axis=1, tiled=True)
         return ops.knn(k, ref_full, query_s)
 
-    return _knn(ref, query)
+    return jax.jit(_knn)
 
 
 def pointconv_sp(mesh: Mesh, module, variables, xyz: jax.Array, feat: jax.Array):
@@ -96,7 +110,11 @@ def pointconv_sp(mesh: Mesh, module, variables, xyz: jax.Array, feat: jax.Array)
     Returns:
       (B, N, out) sharded like the inputs.
     """
+    return _pointconv_jit(mesh, module)(variables, xyz, feat)
 
+
+@functools.lru_cache(maxsize=None)
+def _pointconv_jit(mesh: Mesh, module):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -111,7 +129,7 @@ def pointconv_sp(mesh: Mesh, module, variables, xyz: jax.Array, feat: jax.Array)
         gx, gf = ops.group_multi(idx, xyz_full, feat_full)
         return module.apply(v, xyz_s, gx, gf, method="grouped")
 
-    return _apply(variables, xyz, feat)
+    return jax.jit(_apply)
 
 
 def upsample_sp(
@@ -135,7 +153,11 @@ def upsample_sp(
     Returns:
       (B, N, C) sharded on points like ``dense_xyz``.
     """
+    return _upsample_jit(mesh, k)(dense_xyz, sparse_xyz, sparse_feat)
 
+
+@functools.lru_cache(maxsize=None)
+def _upsample_jit(mesh: Mesh, k: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -152,4 +174,4 @@ def upsample_sp(
         feat_full = jax.lax.all_gather(feat_s, "model", axis=1, tiled=True)
         return ops.upsample(dense_s, sparse_full, feat_full, k)
 
-    return _up(dense_xyz, sparse_xyz, sparse_feat)
+    return jax.jit(_up)

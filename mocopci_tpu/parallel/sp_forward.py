@@ -315,6 +315,11 @@ def eval_forward_sp(
     Batch is sharded over the mesh ``data`` axis, points over ``model``;
     parameters replicated.  Output sharding matches the inputs.
     """
+    return _eval_forward_sp_jit(mesh, cfg)(variables, xyz1, xyz2)
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_forward_sp_jit(mesh: Mesh, cfg: ModelConfig):
     model = MoCoPCI(cfg)
     n_shards = mesh.shape[AXIS]
 
@@ -341,4 +346,8 @@ def eval_forward_sp(
             m.estimator, cfg, pc1f, pc1l, pc2f, pc2l, f1l, f2l, n_shards
         )
 
-    return _fwd(variables, xyz1, xyz2)
+    # jit(shard_map(...)) is the canonical composition: eager shard_map
+    # dispatch bypasses the persistent compilation cache, which made every
+    # fresh process re-lower AND re-compile this (the whole-model) program
+    # (measured 320s -> 30s cold / 6.6s warm for the tiny-shape dryrun)
+    return jax.jit(_fwd)

@@ -120,11 +120,29 @@ def _flat_row_gather_bwd(res, g):
     idx, (B, N, C) = res
     g2 = g.reshape(B, -1, C)
     i2 = idx.reshape(B, -1)
+    S = i2.shape[1]
+    # xyz row gathers (C=3: the fusion pair planes, warping, loss terms) at
+    # TPU tile sizes scatter through the Pallas one-hot accumulation kernel —
+    # a (ts sublanes, to lanes) multiply-reduce tile, never XLA's scatter
+    # emitter (slow at every size on TPU: 19.9 ms for one 491k×3 flat
+    # scatter, and the per-element loop below still pays ~1 ms per batch
+    # element at fusion sizes).
+    if (
+        jax.default_backend() == "tpu"
+        and C == 3
+        and g.dtype == jnp.float32
+        and S % 512 == 0
+        and N % 512 == 0
+        and S >= 4096
+    ):
+        from mocopci_tpu.ops.pallas.chamfer_pair import _onehot_scatter
+
+        return _onehot_scatter(g2, i2, N).transpose(0, 2, 1), None
     # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
     # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
     # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;
     # XLA's TPU scatter emitter is slow at any size, it just gets *worse*
-    # past ~2M/element.  The loop stays.
+    # past ~2M/element.  The loop stays for feature-width gathers.
     grads = [
         jnp.zeros((N, C), g.dtype).at[i2[b]].add(
             g2[b], mode="drop", unique_indices=False

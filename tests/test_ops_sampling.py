@@ -91,3 +91,27 @@ def test_point_warp_constant_flow(rng):
     flow = np.tile(np.array([[0.5, -0.2, 0.1]], np.float32), (50, 1))[None]
     got = np.asarray(ops.point_warp(jnp.asarray(xyz1), jnp.asarray(xyz2), jnp.asarray(flow)))
     np.testing.assert_allclose(got[0], xyz2[0] - flow[0], rtol=1e-3, atol=1e-4)
+
+
+def test_onehot_scatter_matches_loop_scatter(rng):
+    # the TPU gather-backward path for C=3 row gathers (fusion pair planes):
+    # the Pallas one-hot accumulation must equal the per-batch .at[].add loop
+    from mocopci_tpu.ops.pallas.chamfer_pair import _onehot_scatter
+
+    B, S, N = 2, 2048, 512
+    g = rng.normal(size=(B, S, 3)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, S)).astype(np.int32)
+    got = np.asarray(
+        _onehot_scatter(jnp.asarray(g), jnp.asarray(idx), N, interpret=True)
+    ).transpose(0, 2, 1)
+    want = np.stack(
+        [
+            np.asarray(
+                jnp.zeros((N, 3), jnp.float32).at[jnp.asarray(idx[b])].add(
+                    jnp.asarray(g[b])
+                )
+            )
+            for b in range(B)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

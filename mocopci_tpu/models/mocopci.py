@@ -21,6 +21,7 @@ overwritten before use (``mocopci.py:1019-1026``).
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -373,7 +374,11 @@ class MultiFrameEstimator(nn.Module):
             build_pair_planes_xla,
         )
 
-        if jax.default_backend() == "tpu" and n % 128 == 0:
+        if (
+            jax.default_backend() == "tpu"
+            and n % 128 == 0
+            and os.environ.get("MOCOPCI_PLANES") != "xla"  # escape hatch
+        ):
             x_planes = build_pair_planes(nbr_rows, p1_t)       # (FB,4,P)
         else:
             x_planes = build_pair_planes_xla(nbr_rows, p1_t)

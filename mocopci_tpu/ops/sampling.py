@@ -20,6 +20,7 @@ is provided in ``mocopci_tpu.ops.pallas.fps`` and is used automatically on TPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,8 @@ def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
     xyz = lax.stop_gradient(xyz)
+    if os.environ.get("MOCOPCI_FPS") == "xla":  # kernel escape hatch
+        return farthest_point_sample_xla(xyz, npoint)
     return jax.lax.platform_dependent(
         xyz,
         tpu=functools.partial(farthest_point_sample_pallas, npoint=npoint),
@@ -134,6 +137,7 @@ def _flat_row_gather_bwd(res, g):
         and S % 512 == 0
         and N % 512 == 0
         and S >= 4096
+        and os.environ.get("MOCOPCI_SCATTER") != "xla"  # escape hatch
     ):
         from mocopci_tpu.ops.pallas.chamfer_pair import _onehot_scatter
 

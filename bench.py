@@ -100,6 +100,20 @@ def main() -> None:
     extras["forward_ms_exact_b1"] = round(_time(fwd_exact, variables, x1[:1], x2[:1]) * 1e3, 2)
     ops.set_knn_mode("approx")
 
+    # bf16 activation mode (params stay f32; accuracy within the 1% CD band
+    # per tests/test_model.py::test_bf16_activations_parity — reported as an
+    # extra, f32 stays the headline)
+    from mocopci_tpu.nn.basic import set_compute_dtype
+
+    try:
+        set_compute_dtype("bfloat16")
+        fwd_bf16 = jax.jit(lambda v, a, b: forward(v, a, b))
+        extras["forward_ms_b1_bf16"] = round(
+            _time(fwd_bf16, variables, x1[:1], x2[:1]) * 1e3, 2
+        )
+    finally:
+        set_compute_dtype("float32")
+
     # training step: fwd + loss + bwd + AdamW (ref train.py:124-168)
     from mocopci_tpu.training import create_train_state, train_step
 

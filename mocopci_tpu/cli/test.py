@@ -101,6 +101,7 @@ def main(argv=None):
     total_samples = 0
     sums = None
     first_batch = None
+    first_real = 0
     t1 = time.perf_counter()
     for i, batch in enumerate(batches(dataset, args.batch_size, shuffle=False, drop_last=False)):
         batch = {k: np.asarray(v) for k, v in batch.items()}
@@ -124,6 +125,7 @@ def main(argv=None):
             jax.tree_util.tree_map(np.asarray, part)          # compile barrier
             compile_s = time.perf_counter() - t1
             first_batch = batch
+            first_real = real          # padded rows must not inflate rates
             t1 = time.perf_counter()
         else:
             steady_samples += real
@@ -135,7 +137,7 @@ def main(argv=None):
         m = eval_step(state, first_batch, model_cfg, not args.no_emd)
         jax.tree_util.tree_map(np.asarray, m)
         steady_s = time.perf_counter() - t1
-        steady_samples = first_batch["pc1"].shape[0]
+        steady_samples = first_real
     per_sample_ms = 1e3 * steady_s / max(steady_samples, 1)
     # device-only latency of the compiled program (fully synced), for the
     # wall-vs-device overhead split the reference's speed claim is about
@@ -146,9 +148,7 @@ def main(argv=None):
         for _ in range(reps):
             m = eval_step(state, first_batch, model_cfg, not args.no_emd)
             jax.tree_util.tree_map(np.asarray, m)
-        device_ms = 1e3 * (time.perf_counter() - t1) / (
-            reps * first_batch["pc1"].shape[0]
-        )
+        device_ms = 1e3 * (time.perf_counter() - t1) / (reps * first_real)
     print(f"inference+metrics: {per_sample_ms:.2f} ms/sample wall "
           f"(steady state over {steady_samples} samples; compile "
           f"{compile_s:.1f}s excluded; synced device+transfer "

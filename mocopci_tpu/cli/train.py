@@ -140,7 +140,7 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
     # multi-host: every host loads only its rows of each (identically
     # shuffled) global batch; shard_batch reassembles the global arrays
-    hsl = host_batch_slice(train_cfg.batch_size) if args.multihost else None
+    hsl = host_batch_slice(train_cfg.batch_size, mesh) if args.multihost else None
 
     ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))
     start_epoch = 0

@@ -298,7 +298,7 @@ class CrossFrameBlock(nn.Module):
         if deterministic and M <= MAX_SEQ:
             out = _fused_sdpa(q, k, v, C ** -0.5)       # (B, F, N, H, C)
             out = jnp.sum(out, axis=1).transpose(0, 2, 1, 3)  # (B, H, N, C)
-        elif _use_fused_train_attention(N):
+        elif not deterministic and _use_fused_train_attention(N):
             out = _sdpa_train(
                 q, k, v, C ** -0.5, self.attn_drop,
                 _dropout_seed(self, self.attn_drop),

@@ -152,8 +152,12 @@ _EMD_TILE_ENTRIES = 1 << 26  # 64M entries (256 MB fp32) per tile
 _EMD_CHUNK = 1024            # minimum chunk
 
 
-def _chunk_for(nb: int) -> int:
-    return max((_EMD_TILE_ENTRIES // max(nb, 1)) // 1024 * 1024, _EMD_CHUNK)
+def _chunk_for(nb: int, batch: int = 1) -> int:
+    # budget covers the full (B, chunk, nb) tile — at B=1/8192² this keeps the
+    # unchunked fast path; larger batches shrink the chunk so the transient
+    # distance tile stays at _EMD_TILE_ENTRIES
+    per_b = _EMD_TILE_ENTRIES // max(nb * batch, 1)
+    return max(per_b // 1024 * 1024, _EMD_CHUNK)
 
 
 def _kernel_matvec(level, xa, xb, v, vd=None):
@@ -167,7 +171,7 @@ def _kernel_matvec(level, xa, xb, v, vd=None):
     xyz on the fly.
     """
     B, na, _ = xa.shape
-    chunk = _chunk_for(xb.shape[1])
+    chunk = _chunk_for(xb.shape[1], B)
 
     def one(xa_c):
         d = square_distance(xa_c, xb)

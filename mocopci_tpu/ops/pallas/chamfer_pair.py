@@ -37,10 +37,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mocopci_tpu.ops.pallas.scatter import TO, TS  # scatter tile sizes
+
 TQ = 256   # query tile (pc1 points per grid step; kNN-kernel-proven shape)
 TM = 1024  # reference tile (pc2 points per grid step)
-TO = 512   # scatter output tile
-TS = 512   # scatter source tile
 
 _IMAX = 0x7F7FFFFF  # +inf-ish packed key (f32 max bit pattern), python int
 
@@ -152,57 +152,12 @@ def _pair_keys(pc1: jax.Array, pc2_t: jax.Array, interpret: bool = False):
     return k12[:, :, 0], jnp.min(k21, axis=1)
 
 
-def _scatter_kernel(ns_t, v_ref, idx_ref, out_ref):
-    """out[g, :, o] += Σ_s v[g, :, s]·1[idx[g, s] == o]  — MXU one-hot scatter.
-
-    Grid (G, OUT/TO, S/TS), s innermost; out block (1, 3, TO) revisited
-    across the s sweep.
-    """
-    o = pl.program_id(1)
-    s = pl.program_id(2)
-
-    @pl.when(s == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    v = v_ref[0]                                        # (ts, 3) value ROWS
-    idx = idx_ref[0]                                    # (ts, 1) int32
-    ts = v.shape[0]
-    to = out_ref.shape[2]
-    # VPU multiply-reduce per channel: an MXU dot here pads the 3-row
-    # operand to 128 and (at fp32-exact precision) runs 6 passes — ~250×
-    # the useful FLOPs (measured 8.7 ms for one scatter).  Tile oriented
-    # (ts sublanes, to lanes): idx/v broadcast from sublane vectors, the
-    # sum reduces over sublanes straight into lane-major (3, to) rows.
-    targets = o * to + lax.broadcasted_iota(jnp.int32, (ts, to), 1)
-    hit = idx == targets                                # (ts, to) bool
-    acc = [
-        jnp.sum(jnp.where(hit, v[:, c : c + 1], 0.0), axis=0)  # (to,)
-        for c in range(3)
-    ]
-    out_ref[0] += jnp.stack(acc, axis=0)                # (3, to)
-
-
-def _onehot_scatter(
-    v: jax.Array, idx: jax.Array, out_size: int, interpret: bool = False
-) -> jax.Array:
-    """(G,S,3) value rows + (G,S) int32 targets -> (G,3,out_size) sums."""
-    G, S, _ = v.shape
-    ts = min(TS, S)
-    to = min(TO, out_size)
-    assert S % ts == 0 and out_size % to == 0, (S, out_size)
-    kern = functools.partial(_scatter_kernel, S // ts)
-    return pl.pallas_call(
-        kern,
-        grid=(G, out_size // to, S // ts),
-        in_specs=[
-            pl.BlockSpec((1, ts, 3), lambda g, o, s: (g, s, 0)),
-            pl.BlockSpec((1, ts, 1), lambda g, o, s: (g, s, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 3, to), lambda g, o, s: (g, 0, o)),
-        out_shape=jax.ShapeDtypeStruct((G, 3, out_size), jnp.float32),
-        interpret=interpret,
-    )(v, idx[:, :, None])
+# One-hot scatter tile: promoted to its own module (it now also serves the
+# generic C=3 row-gather backward in ops/sampling.py); re-exported here for
+# the VJP below and existing callers.
+from mocopci_tpu.ops.pallas.scatter import (  # noqa: E402
+    onehot_scatter_rows as _onehot_scatter,
+)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -139,9 +139,9 @@ def _flat_row_gather_bwd(res, g):
         and S >= 4096
         and os.environ.get("MOCOPCI_SCATTER") != "xla"  # escape hatch
     ):
-        from mocopci_tpu.ops.pallas.chamfer_pair import _onehot_scatter
+        from mocopci_tpu.ops.pallas.scatter import onehot_scatter_rows
 
-        return _onehot_scatter(g2, i2, N).transpose(0, 2, 1), None
+        return onehot_scatter_rows(g2, i2, N).transpose(0, 2, 1), None
     # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
     # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
     # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;

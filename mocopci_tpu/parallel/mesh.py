@@ -74,21 +74,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def host_batch_slice(global_batch: int) -> slice:
+def host_batch_slice(global_batch: int, mesh: Optional[Mesh] = None) -> slice:
     """The slice of the global batch THIS host must load (multi-host DP).
 
-    With the batch axis sharded over the 'data' mesh axis and devices laid
-    out process-contiguously (the ``jax.devices()`` order ``make_mesh``
-    uses), process i's addressable devices own rows
-    ``[i*B/p, (i+1)*B/p)``.  Single-process: the whole batch.
+    With ``mesh`` given, ownership is computed from the ACTUAL batch
+    sharding's device→index map, so prefix meshes (``make_mesh_for_batch``
+    with a batch smaller than the slice, e.g. the reference's global batch 2
+    on a 2-host × 4-chip slice) resolve correctly: a host whose devices hold
+    no batch rows gets an empty slice instead of rows some other host's
+    devices own.
+
+    Without a mesh, falls back to the process-contiguous full-device layout
+    (process i owns rows ``[i*B/p, (i+1)*B/p)``) — only valid when the mesh
+    spans all devices and ``global_batch % process_count == 0``.
+    Single-process: the whole batch either way.
     """
     p = jax.process_count()
     if p == 1:
         return slice(0, global_batch)
-    assert global_batch % p == 0, (global_batch, p)
-    per = global_batch // p
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    if mesh is None:
+        assert global_batch % p == 0, (global_batch, p)
+        per = global_batch // p
+        i = jax.process_index()
+        return slice(i * per, (i + 1) * per)
+    imap = batch_sharding(mesh).devices_indices_map((global_batch,))
+    pid = jax.process_index()
+    spans = sorted(
+        {
+            (idx[0].start or 0,
+             global_batch if idx[0].stop is None else idx[0].stop)
+            for d, idx in imap.items()
+            if d.process_index == pid
+        }
+    )
+    if not spans:
+        return slice(0, 0)
+    lo, hi = spans[0][0], spans[-1][1]
+    cursor = lo
+    for a, b in spans:  # make_array_from_process_local_data needs contiguity
+        assert a <= cursor, (
+            f"this process's batch rows are not contiguous: {spans}; "
+            "reorder the mesh devices process-contiguously"
+        )
+        cursor = max(cursor, b)
+    return slice(lo, hi)
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -76,10 +76,20 @@ class CheckpointManager:
             "step": state.step,
             "steps_per_epoch": jnp.zeros((), jnp.int32),
         }
-        restored = self._mgr.restore(
-            epoch,
-            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
-        )["state"]
+        try:
+            restored = self._mgr.restore(
+                epoch,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+            )["state"]
+        except (ValueError, KeyError) as e:
+            raise RuntimeError(
+                "checkpoint restore failed with a pytree-structure mismatch. "
+                "Likely cause: the checkpoint was written before the "
+                "optimizer state was flattened (optax.flatten, v0.3) — "
+                "optimizer momenta cannot be carried across that change; "
+                "restart training, or restore params only via "
+                "training.convert tooling."
+            ) from e
         state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

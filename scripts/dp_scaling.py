@@ -71,11 +71,12 @@ def main(out="runs/dp_scaling.json", npoints=64, per_device_batch=1, steps=3):
                 "correctness signal, not speedup",
         "rows": rows,
     }
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", out)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    _a = sys.argv[1:]
+    main(*([_a[0]] if _a else []), *map(int, _a[1:]))

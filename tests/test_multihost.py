@@ -23,6 +23,15 @@ def test_host_batch_slice_single_process():
     assert host_batch_slice(6) == slice(0, 6)
 
 
+def test_host_batch_slice_mesh_aware_single_process():
+    from mocopci_tpu.parallel.mesh import make_mesh
+
+    # single process owns every mesh device -> the whole batch, for both the
+    # full mesh and a prefix mesh (the device->rows map path)
+    assert host_batch_slice(8, make_mesh(n_data=8)) == slice(0, 8)
+    assert host_batch_slice(2, make_mesh(n_data=2)) == slice(0, 2)
+
+
 def test_scale_batch_to_mesh_uses_all_devices():
     global_batch, mesh = scale_batch_to_mesh(2)
     n = len(jax.devices())
@@ -61,7 +70,7 @@ mesh = make_mesh(n_data=4, n_model=1)
 B = 8
 rng = np.random.default_rng(0)          # same seed on both hosts
 batch = {"x": rng.normal(size=(B, 4)).astype(np.float32)}
-sl = host_batch_slice(B)
+sl = host_batch_slice(B, mesh)
 assert sl == slice(proc_id * 4, proc_id * 4 + 4), sl
 local = {k: v[sl] for k, v in batch.items()}
 sharded = shard_batch(mesh, local)
@@ -70,6 +79,17 @@ assert sharded["x"].shape == (B, 4)     # global shape from per-host shards
 got = float(jax.jit(lambda t: jnp.sum(t["x"]))(sharded))
 want = float(batch["x"].sum())
 assert abs(got - want) < 1e-4 * max(abs(want), 1.0), (got, want)
+
+# prefix mesh (reference global batch 2 on a 2-host slice): both mesh
+# devices belong to process 0, so host 0 loads both rows and host 1 none —
+# the device->rows map, NOT process-contiguous arithmetic
+pmesh = make_mesh(n_data=2, n_model=1)
+owners = {d.process_index for d in pmesh.devices.flat}
+psl = host_batch_slice(2, pmesh)
+if proc_id in owners:
+    assert psl == slice(0, 2), psl
+else:
+    assert psl == slice(0, 0), psl
 print(f"proc {proc_id} OK sum={got:.6f}")
 """
 

@@ -96,13 +96,13 @@ def test_point_warp_constant_flow(rng):
 def test_onehot_scatter_matches_loop_scatter(rng):
     # the TPU gather-backward path for C=3 row gathers (fusion pair planes):
     # the Pallas one-hot accumulation must equal the per-batch .at[].add loop
-    from mocopci_tpu.ops.pallas.chamfer_pair import _onehot_scatter
+    from mocopci_tpu.ops.pallas.scatter import onehot_scatter_rows
 
     B, S, N = 2, 2048, 512
     g = rng.normal(size=(B, S, 3)).astype(np.float32)
     idx = rng.integers(0, N, size=(B, S)).astype(np.int32)
     got = np.asarray(
-        _onehot_scatter(jnp.asarray(g), jnp.asarray(idx), N, interpret=True)
+        onehot_scatter_rows(jnp.asarray(g), jnp.asarray(idx), N, interpret=True)
     ).transpose(0, 2, 1)
     want = np.stack(
         [

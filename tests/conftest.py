@@ -12,9 +12,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective" not in flags:
+    # 8 virtual devices timeshare ONE physical core: inside a single fused
+    # shard_map program their compute segments drift minutes apart before a
+    # collective, and XLA:CPU's rendezvous (default ~30s) aborts the process
+    # (observed on the 16k point-sharded forward).  Harmless on real meshes.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        " --xla_cpu_collective_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -65,3 +65,23 @@ def test_rejects_unaligned_n():
     nbr, p1t = _make(N=128, k2=1)
     with pytest.raises(ValueError):
         build_pair_planes(nbr[:, :60, :], p1t[:, :, :60], interpret=True)
+
+
+def test_multi_chunk_grid_matches_twin():
+    """N=16384 splits into two R=8192 point chunks (NT=2): exercises the
+    t-grid dimension of both the forward sweep and the backward accumulator
+    (dense 16k stress forwards hit this path)."""
+    nbr, p1t = _make(G=1, N=16384, k2=2, seed=4)
+    x = build_pair_planes(nbr, p1t, interpret=True)
+    x_t = build_pair_planes_xla(nbr, p1t)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_t),
+                               rtol=1e-5, atol=1e-5)
+
+    g = jax.grad(
+        lambda a, b: jnp.sum(jnp.cos(build_pair_planes(a, b, interpret=True)))
+    )(nbr, p1t)
+    g_t = jax.grad(
+        lambda a, b: jnp.sum(jnp.cos(build_pair_planes_xla(a, b)))
+    )(nbr, p1t)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_t),
+                               rtol=1e-4, atol=1e-4)

@@ -52,12 +52,19 @@ def _time(fn, *args, iters=10, warmup=3):
 
 
 def main() -> None:
+    # honour JAX_PLATFORMS even though sitecustomize pre-registers the TPU
+    # backend (same contract as the CLIs)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from mocopci_tpu import ops
-    from mocopci_tpu.config import ModelConfig, TrainConfig
+    from mocopci_tpu.config import ModelConfig, TrainConfig, tiny_model_config
     from mocopci_tpu.data import SyntheticInterpolationDataset
     from mocopci_tpu.models import MoCoPCI
 
-    cfg = ModelConfig()
+    # MOCOPCI_BENCH_TINY=1: CPU smoke mode — every section runs at toy size
+    # so code errors surface without a TPU (numbers are meaningless)
+    tiny = os.environ.get("MOCOPCI_BENCH_TINY") == "1"
+    cfg = tiny_model_config(64) if tiny else ModelConfig()
     model = MoCoPCI(cfg)
     rng = jax.random.PRNGKey(0)
 
@@ -134,7 +141,7 @@ def main() -> None:
     # attention engage automatically at these sizes
     from mocopci_tpu.config import stress_model_config
 
-    for n in (16384, 32768):
+    for n in () if tiny else (16384, 32768):
         scfg = stress_model_config(n)
         smodel = MoCoPCI(scfg)
         sx1 = jnp.asarray(np.asarray(x1[:1, :1]) * np.ones((1, n, 1), np.float32)
@@ -157,7 +164,7 @@ def main() -> None:
     emd_fn = jax.jit(lambda a, b: ops.earth_mover_distance_auto(a, b)[0])
     extras["emd_8192_ms"] = round(_time(emd_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1)
     r = np.random.default_rng(0)
-    for n in (16384, 32768):
+    for n in () if tiny else (16384, 32768):
         a = jnp.asarray(r.normal(size=(1, n, 3)).astype(np.float32))
         b = jnp.asarray(r.normal(size=(1, n, 3)).astype(np.float32))
         blocked = jax.jit(lambda a, b: ops.earth_mover_distance_blocked(a, b)[0])

@@ -137,23 +137,29 @@ class PointConvEncoder(nn.Module):
         self.level4 = PointConvD(n4, k, c4, w, name="level4")
 
     def __call__(self, xyz) -> Tuple[list, list]:
+        # The xyz pyramid is feature-independent, so ALL levels' FPS runs
+        # upfront as one fused Pallas cascade (per-level composition spends
+        # ~2x the kernel time on inter-level gathers/relayouts/launches);
+        # per-level indices address the previous level, as PointConvD expects.
+        fps_idx = ops.farthest_point_sample_pyramid(xyz, self.cfg.pyramid)
+
         feat = self.level0_lift(xyz)                           # xyz doubles as color
         feat_l0 = self.level0(xyz, feat)
         f = self.level0_1(feat_l0)
 
-        pc_l1, feat_l1 = self.level1(xyz, f)
+        pc_l1, feat_l1 = self.level1(xyz, f, fps_idx=fps_idx[0])
         feat_l1 = self.level1_0(feat_l1)
         f = self.level1_1(feat_l1)
 
-        pc_l2, feat_l2 = self.level2(pc_l1, f)
+        pc_l2, feat_l2 = self.level2(pc_l1, f, fps_idx=fps_idx[1])
         feat_l2 = self.level2_0(feat_l2)
         f = self.level2_1(feat_l2)
 
-        pc_l3, feat_l3 = self.level3(pc_l2, f)
+        pc_l3, feat_l3 = self.level3(pc_l2, f, fps_idx=fps_idx[2])
         feat_l3 = self.level3_0(feat_l3)
         f = self.level3_1(feat_l3)
 
-        pc_l4, feat_l4 = self.level4(pc_l3, f)
+        pc_l4, feat_l4 = self.level4(pc_l3, f, fps_idx=fps_idx[3])
 
         return [xyz, pc_l1, pc_l2, pc_l3, pc_l4], [
             feat_l0,

@@ -85,9 +85,16 @@ class PointConvD(nn.Module):
         self.wn = WeightNet(self.weightnet, name="weightnet")
         self.linear = nn.Dense(self.out_channel, dtype=compute_dtype(), name="linear")
 
-    def __call__(self, xyz, feat):
-        """xyz: (B, N, 3); feat: (B, N, D) -> (new_xyz (B,npoint,3), out (B,npoint,C))."""
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+    def __call__(self, xyz, feat, fps_idx=None):
+        """xyz: (B, N, 3); feat: (B, N, D) -> (new_xyz (B,npoint,3), out (B,npoint,C)).
+
+        ``fps_idx`` lets the caller supply precomputed FPS indices — the
+        encoder samples its whole xyz pyramid in one fused Pallas launch
+        (``ops.farthest_point_sample_pyramid``) instead of one FPS kernel
+        per level.
+        """
+        if fps_idx is None:
+            fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather(xyz, fps_idx)
         idx = ops.knn(self.nsample, xyz, new_xyz)
         grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)

@@ -36,6 +36,7 @@ from mocopci_tpu.ops.interpolate import (
 from mocopci_tpu.ops.sampling import (
     downsample_fps,
     farthest_point_sample,
+    farthest_point_sample_pyramid,
     farthest_point_sample_xla,
     gather,
     group,
@@ -66,6 +67,7 @@ __all__ = [
     "upsample_multi",
     "downsample_fps",
     "farthest_point_sample",
+    "farthest_point_sample_pyramid",
     "farthest_point_sample_xla",
     "gather",
     "group",

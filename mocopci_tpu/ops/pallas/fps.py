@@ -25,17 +25,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
-    # xyz_ref: (3, TB, Npad) f32 in VMEM — x/y/z planes for TB batch rows.
-    # out_ref: (TB, npoint_pad) int32 in VMEM.
-    npad = xyz_ref.shape[-1]
-    xv = xyz_ref[0]                       # (TB, Npad)
-    yv = xyz_ref[1]
-    zv = xyz_ref[2]
-    opad = out_ref.shape[-1]
+def _fps_level(xv, yv, zv, n_real: int, npoint: int, opad: int,
+               collect: bool):
+    """One FPS level entirely in registers/VMEM.
+
+    xv/yv/zv: (TB, Npad) coordinate planes.  Returns the (TB, opad) int32
+    index row and, when ``collect`` is set, the selected coordinate planes
+    ((TB, opad) each) so a following level can run directly on the sampled
+    subset without leaving the kernel (``_fps_pyramid_kernel``).
+    """
+    npad = xv.shape[-1]
     lane = lax.broadcasted_iota(jnp.int32, (_TB, npad), dimension=1)
-    valid = lane < n_real
-    mind0 = jnp.where(valid, jnp.full((_TB, npad), 1e10, jnp.float32), -1.0)
+    full0 = jnp.full((_TB, npad), 1e10, jnp.float32)
+    mind0 = full0 if n_real == npad else jnp.where(lane < n_real, full0, -1.0)
     out_col = lax.broadcasted_iota(jnp.int32, (_TB, opad), dimension=1)
 
     def _argmax_carry(mind):
@@ -87,13 +89,18 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     def step(i, carry):
         # out accumulates via a one-hot column select: Mosaic has no dynamic
         # lane-indexed vector store, and this keeps the whole loop in registers
-        mind, out, px, py, pz = carry     # px/py/pz: (TB, 1) last-picked coords
+        mind, out, cacc, px, py, pz = carry  # px/py/pz: (TB, 1) last-picked
         d = (xv - px) ** 2 + (yv - py) ** 2 + (zv - pz) ** 2
         # no validity select needed: d >= 0 and invalid lanes carry mind = -1
         mind = jnp.minimum(mind, d)
         nxt, px, py, pz = _argmax_carry(mind)
-        out = jnp.where(out_col == i, nxt, out)
-        return mind, out, px, py, pz
+        sel = out_col == i
+        out = jnp.where(sel, nxt, out)
+        if collect:
+            cacc = tuple(
+                jnp.where(sel, p, c) for c, p in zip(cacc, (px, py, pz))
+            )
+        return mind, out, cacc, px, py, pz
 
     # 2x unrolled selection loop (the ~2048 dependent iterations make loop
     # overhead visible: measured ~11% faster than unroll-1), odd tail eager
@@ -103,13 +110,54 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
 
     out0 = jnp.zeros((_TB, opad), jnp.int32)
     p0 = (xv[:, 0:1], yv[:, 0:1], zv[:, 0:1])
-    carry = (mind0, out0, *p0)
+    if collect:
+        # seed (index 0) coords land in output column 0
+        cacc0 = tuple(
+            jnp.where(out_col == 0, p, 0.0).astype(jnp.float32) for p in p0
+        )
+    else:
+        cacc0 = ()
+    carry = (mind0, out0, cacc0, *p0)
     n_pairs = (npoint - 1) // 2
     carry = lax.fori_loop(0, n_pairs, body, carry)
     for i in range(2 * n_pairs + 1, npoint):
         carry = step(i, carry)
-    _, out, _, _, _ = carry
+    _, out, cacc, _, _, _ = carry
+    return out, cacc
+
+
+def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
+    # xyz_ref: (3, TB, Npad) f32 in VMEM — x/y/z planes for TB batch rows.
+    # out_ref: (TB, npoint_pad) int32 in VMEM.
+    out, _ = _fps_level(
+        xyz_ref[0], xyz_ref[1], xyz_ref[2],
+        n_real, npoint, out_ref.shape[-1], False,
+    )
     out_ref[:, :] = out
+
+
+def _fps_pyramid_kernel(n_real: int, npoints, xyz_ref, *out_refs):
+    """Cascaded FPS pyramid in ONE kernel invocation.
+
+    Level l samples ``npoints[l]`` points from the level-(l-1) subset; the
+    selected coordinate planes flow between levels as register/VMEM values,
+    so the XLA inter-level gathers, (…, 3)-minor relayouts, and kernel
+    launches of the level-by-level composition never happen.  Indices are
+    into the PREVIOUS level (gather-chain semantics identical to running
+    ``farthest_point_sample`` + gather per level — the seed of level l is
+    column 0 of level l-1's output, exactly the gathered cloud's row 0).
+    """
+    xv, yv, zv = xyz_ref[0], xyz_ref[1], xyz_ref[2]
+    nr = n_real
+    last = len(npoints) - 1
+    for l, npt in enumerate(npoints):
+        out, cacc = _fps_level(
+            xv, yv, zv, nr, npt, out_refs[l].shape[-1], l < last
+        )
+        out_refs[l][:, :] = out
+        if l < last:
+            xv, yv, zv = cacc
+            nr = npt
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -137,3 +185,41 @@ def farthest_point_sample_pallas(
         interpret=interpret,
     )(xt)
     return out[:B, :npoint]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def farthest_point_sample_pyramid_pallas(
+    xyz: jax.Array, npoints: tuple, interpret: bool = False
+):
+    """Cascaded FPS pyramid: (B, N, 3) -> tuple of (B, npoints[l]) int32.
+
+    Level l's indices address level l-1's sampled subset (level 0 addresses
+    the input cloud), matching ``fps; gather; fps; …`` exactly — but the
+    whole cascade is ONE kernel launch and the intermediate clouds never
+    leave VMEM (the encoder's level-by-level composition spent ~2x the level-0
+    kernel time on XLA gathers and (…,3)-minor relayouts between levels).
+    """
+    B, N, _ = xyz.shape
+    npad = _round_up(N, 128)
+    bpad = _round_up(B, _TB)
+    xt = jnp.zeros((3, bpad, npad), jnp.float32)
+    xt = xt.at[:, :B, :N].set(xyz.astype(jnp.float32).transpose(2, 0, 1))
+    opads = [_round_up(p, 128) for p in npoints]
+
+    kernel = functools.partial(_fps_pyramid_kernel, N, tuple(npoints))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bpad // _TB,),
+        in_specs=[
+            pl.BlockSpec((3, _TB, npad), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((_TB, op), lambda b: (b, 0), memory_space=pltpu.VMEM)
+            for op in opads
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bpad, op), jnp.int32) for op in opads
+        ],
+        interpret=interpret,
+    )(xt)
+    return tuple(o[:B, :p] for o, p in zip(outs, npoints))

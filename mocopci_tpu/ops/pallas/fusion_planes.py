@@ -55,16 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-20  # under the sqrt: zero-distance pairs must not NaN the grad
 
 
-def _block_r(n: int) -> int:
-    # largest 128-multiple divisor of N up to 8192: a (8192, 3) row block is
-    # 4 MB of (lane-padded) VMEM, and one grid step per (group, slot) keeps
-    # the step count at G·k2 instead of thousands of 2k-row steps
+def _block_r(n: int, cap: int = 8192) -> int:
+    # largest 128-multiple divisor of N up to ``cap``: a (8192, 3) row block
+    # is 4 MB of (lane-padded) VMEM, and one grid step per (group, slot)
+    # keeps the step count at G·k2 instead of thousands of 2k-row steps.
+    # The BACKWARD pass caps at 4096: it pipelines TWO (R, 3) row blocks
+    # (nbr recompute + d_nbr output) plus the plane blocks, and at R=8192
+    # the double-buffered working set (~16.5 MB) exceeds the 16 MB scoped
+    # VMEM limit (observed compile OOM at FB=6 on v5e).
     if n % 128 != 0:
         raise ValueError(
             f"build_pair_planes needs N % 128 == 0, got N={n}; "
             "use the XLA plane build for tiny shapes"
         )
-    for cand in range(min(n, 8192), 0, -128):
+    for cand in range(min(n, cap), 0, -128):
         if n % cand == 0:
             return cand
     raise AssertionError(n)
@@ -162,7 +166,7 @@ def _bpp_bwd(interpret, res, dx):
     nbr, p1t = res
     G, P, _ = nbr.shape
     N = p1t.shape[2]
-    R = _block_r(N)
+    R = _block_r(N, cap=4096)
     nbr_s, p1t_s, x_s, grid = _specs(G, N, P, R)
     d_nbr, d_p1t = pl.pallas_call(
         _bwd_kernel,

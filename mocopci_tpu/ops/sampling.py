@@ -84,6 +84,50 @@ def farthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     )
 
 
+def farthest_point_sample_pyramid(xyz: jax.Array, npoints) -> tuple:
+    """Cascaded FPS: level l samples ``npoints[l]`` from the level-(l-1) subset.
+
+    Returns a tuple of (B, npoints[l]) int32 index arrays, each addressing the
+    PREVIOUS level's sampled cloud (level 0 addresses ``xyz``) — exactly the
+    ``fps; gather; fps; …`` chain the reference encoder runs per level
+    (``mocopci.py:424-436`` via ``PointConvD``), but on TPU the whole cascade
+    is ONE Pallas launch with the intermediate clouds resident in VMEM
+    (``ops.pallas.fps._fps_pyramid_kernel``).
+    """
+    from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pyramid_pallas
+
+    xyz = lax.stop_gradient(xyz)
+    npoints = tuple(int(n) for n in npoints)
+
+    def _seq(x):
+        idxs = []
+        pc = x
+        for n in npoints:
+            i = farthest_point_sample_xla(pc, n)
+            pc = jnp.take_along_axis(pc, i[..., None], axis=1)
+            idxs.append(i)
+        return tuple(idxs)
+
+    if xyz.shape[1] % 128 != 0 or os.environ.get("MOCOPCI_FPS") == "xla":
+        # tiny/odd shapes: the Pallas path needs N % 128 == 0 (lane tiling)
+        def _seq_native(x):
+            idxs = []
+            pc = x
+            for n in npoints:
+                i = farthest_point_sample(pc, n)
+                pc = jnp.take_along_axis(pc, i[..., None], axis=1)
+                idxs.append(i)
+            return tuple(idxs)
+
+        return _seq_native(xyz)
+    return jax.lax.platform_dependent(
+        xyz,
+        tpu=functools.partial(farthest_point_sample_pyramid_pallas,
+                              npoints=npoints),
+        default=_seq,
+    )
+
+
 @jax.custom_vjp
 def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather with batch folded into the index.
@@ -123,30 +167,19 @@ def _flat_row_gather_bwd(res, g):
     idx, (B, N, C) = res
     g2 = g.reshape(B, -1, C)
     i2 = idx.reshape(B, -1)
-    S = i2.shape[1]
-    # xyz row gathers (C=3: the fusion pair planes, warping, loss terms) at
-    # TPU tile sizes scatter through the Pallas one-hot accumulation kernel —
-    # a (ts sublanes, to lanes) multiply-reduce tile, never XLA's scatter
-    # emitter (slow at every size on TPU: 19.9 ms for one 491k×3 flat
-    # scatter, and the per-element loop below still pays ~1 ms per batch
-    # element at fusion sizes).
-    if (
-        jax.default_backend() == "tpu"
-        and C == 3
-        and g.dtype == jnp.float32
-        and S % 512 == 0
-        and N % 512 == 0
-        and S >= 4096
-        and os.environ.get("MOCOPCI_SCATTER") != "xla"  # escape hatch
-    ):
-        from mocopci_tpu.ops.pallas.scatter import onehot_scatter_rows
-
-        return onehot_scatter_rows(g2, i2, N).transpose(0, 2, 1), None
     # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
     # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
     # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;
     # XLA's TPU scatter emitter is slow at any size, it just gets *worse*
-    # past ~2M/element.  The loop stays for feature-width gathers.
+    # past ~2M/element.  The loop stays.
+    #
+    # NOTE (measured, r3b): routing C=3 gathers through the Pallas one-hot
+    # accumulation kernel (``ops.pallas.scatter.onehot_scatter_rows``) is an
+    # O(S·N) multiply-reduce — it wins where S ≈ N (chamfer_pair's own VJP,
+    # which keeps it), but at the fusion gather shape (S = N·2k = 524k rows
+    # into N = 8192) it cost 91 ms vs 5 ms for this loop and regressed the
+    # B=2 train step 244 → 314 ms.  Do not route row-gather backwards
+    # through it.
     grads = [
         jnp.zeros((N, C), g.dtype).at[i2[b]].add(
             g2[b], mode="drop", unique_indices=False

@@ -115,3 +115,39 @@ def test_onehot_scatter_matches_loop_scatter(rng):
         ]
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fps_pyramid_pallas_matches_sequential(rng):
+    """Fused pyramid kernel == per-level fps+gather chain, exact indices."""
+    from mocopci_tpu.ops.pallas.fps import farthest_point_sample_pyramid_pallas
+
+    xyz = rng.normal(size=(3, 256, 3)).astype(np.float32)
+    npoints = (128, 32, 8)
+    got = farthest_point_sample_pyramid_pallas(
+        jnp.asarray(xyz), npoints, interpret=True
+    )
+    pc = xyz
+    for g, n in zip(got, npoints):
+        want = _np_fps(pc, n)
+        np.testing.assert_array_equal(np.asarray(g), want)
+        pc = np.take_along_axis(pc, want[..., None], axis=1)
+
+
+def test_fps_pyramid_dispatch_cpu_matches_sequential(rng):
+    """The public wrapper's CPU path (and tiny-shape fallback) chain-match."""
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    npoints = (64, 16)
+    got = ops.farthest_point_sample_pyramid(xyz, npoints)
+    pc = xyz
+    for g, n in zip(got, npoints):
+        want = ops.farthest_point_sample(pc, n)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
+        pc = ops.gather(pc, want)
+    # non-multiple-of-128 N takes the fallback path
+    xyz_odd = xyz[:, :200]
+    got_odd = ops.farthest_point_sample_pyramid(xyz_odd, (64, 16))
+    pc = xyz_odd
+    for g, n in zip(got_odd, (64, 16)):
+        want = ops.farthest_point_sample(pc, n)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
+        pc = ops.gather(pc, want)

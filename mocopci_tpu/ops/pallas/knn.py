@@ -71,11 +71,14 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
     q = q_ref[0]
     C = q.shape[-1]
     if metric == "euclidean" and C <= 8:
-        # xyz-scale C: explicit expansion on the VPU beats a padded MXU pass
-        r = r_ref[0]
+        # xyz-scale C: explicit expansion on the VPU beats a padded MXU pass.
+        # The ref tile arrives as lane-dense (C, TR) PLANES: with a (TR, C)
+        # row tile every r[:, c] read is a sublane->lane relayout of 1024
+        # values (C=3 occupies 3/128 lanes), which dominated the kernel —
+        # planes make it a free (1, TR) slice (measured: see knn_micro).
         d = jnp.zeros((TQ, TR), jnp.float32)
         for c in range(C):
-            diff = q[:, c : c + 1] - r[:, c][None, :]
+            diff = q[:, c : c + 1] - r_ref[0, c][None, :]
             d = d + diff * diff
     else:
         # distance tile: one MXU contraction.  Precision HIGHEST: the default
@@ -187,6 +190,15 @@ def fused_knn_pallas(
         rn = jnp.sum(r * r, axis=-1)[:, None, :]  # (B, 1, mpad)
     else:
         rn = jnp.zeros((B, 1, mpad), jnp.float32)
+    planes = metric == "euclidean" and C <= 8
+    if planes:
+        # lane-dense (B, C, mpad) coordinate planes (see kernel comment)
+        r = r.transpose(0, 2, 1)
+        r_spec = pl.BlockSpec((1, C, tr), lambda b, n, m: (b, 0, m),
+                              memory_space=pltpu.VMEM)
+    else:
+        r_spec = pl.BlockSpec((1, tr, C), lambda b, n, m: (b, m, 0),
+                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_knn_kernel, k, M, tr, idx_bits, metric)
     out = pl.pallas_call(
@@ -195,8 +207,7 @@ def fused_knn_pallas(
         in_specs=[
             pl.BlockSpec((1, tq, C), lambda b, n, m: (b, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, C), lambda b, n, m: (b, m, 0),
-                         memory_space=pltpu.VMEM),
+            r_spec,
             pl.BlockSpec((1, 1, tr), lambda b, n, m: (b, 0, m),
                          memory_space=pltpu.VMEM),
         ],

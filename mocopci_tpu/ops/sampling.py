@@ -167,26 +167,51 @@ def _flat_row_gather_bwd(res, g):
     idx, (B, N, C) = res
     g2 = g.reshape(B, -1, C)
     i2 = idx.reshape(B, -1)
-    # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
-    # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
-    # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;
-    # XLA's TPU scatter emitter is slow at any size, it just gets *worse*
-    # past ~2M/element.  The loop stays.
-    #
-    # NOTE (measured, r3b): routing C=3 gathers through the Pallas one-hot
-    # accumulation kernel (``ops.pallas.scatter.onehot_scatter_rows``) is an
-    # O(S·N) multiply-reduce — it wins where S ≈ N (chamfer_pair's own VJP,
-    # which keeps it), but at the fusion gather shape (S = N·2k = 524k rows
-    # into N = 8192) it cost 91 ms vs 5 ms for this loop and regressed the
-    # B=2 train step 244 → 314 ms.  Do not route row-gather backwards
-    # through it.
-    grads = [
-        jnp.zeros((N, C), g.dtype).at[i2[b]].add(
-            g2[b], mode="drop", unique_indices=False
+    S = i2.shape[1]
+
+    def loop_scatter(g2, i2):
+        # NOTE (measured, r3): a single flat scatter under the 2M cliff is NOT
+        # faster — at 491k×3 (batched loss) it cost 19.9 ms and at 1M×35
+        # (encoder L0 grouping) 14.4 ms vs a few ms for the per-element loop;
+        # XLA's TPU scatter emitter is slow at any size, it just gets *worse*
+        # past ~2M/element.  The loop stays.
+        #
+        # NOTE (measured, r3b): routing C=3 gathers through the Pallas one-hot
+        # accumulation kernel (``ops.pallas.scatter.onehot_scatter_rows``) is
+        # an O(S·N) multiply-reduce — it wins where S ≈ N (chamfer_pair's own
+        # VJP, which keeps it), but at the fusion gather shape (S = N·2k =
+        # 524k rows into N = 8192) it cost 91 ms vs 5 ms for this loop and
+        # regressed the B=2 train step 244 → 314 ms.  Do not route row-gather
+        # backwards through it.
+        grads = [
+            jnp.zeros((N, C), g2.dtype).at[i2[b]].add(
+                g2[b], mode="drop", unique_indices=False
+            )
+            for b in range(B)
+        ]
+        return jnp.stack(grads)
+
+    # Large-S small-C scatters (the fusion-head and loss gathers) go through
+    # the radix-factorized MXU kernel: XLA's scatter emitter costs ~6 ns/row
+    # (3.2 ms per 524k-row group; 19.4 ms of the B=2 train step), while the
+    # bucket kernel runs the same contraction as Wᵀ@V matmuls (see
+    # ``ops/pallas/scatter_bucket.py``).  Gates: lane-radix needs N % 128
+    # == 0; C ≤ 4 keeps the MAC count S·C·N profitable vs the loop; N ≤
+    # 16384 bounds the (ts, N/128·C) W tile in VMEM; S ≥ 32k is where the
+    # kernel overtakes the loop.
+    if C <= 4 and N % 128 == 0 and N <= 16384 and S >= 32768:
+        from mocopci_tpu.ops.pallas.scatter_bucket import bucket_scatter_add
+
+        def tpu_scatter(g2, i2):
+            out = bucket_scatter_add(g2.astype(jnp.float32), i2, N)
+            return out.astype(g2.dtype)
+
+        grad = lax.platform_dependent(
+            g2, i2, tpu=tpu_scatter, default=loop_scatter
         )
-        for b in range(B)
-    ]
-    return jnp.stack(grads), None
+    else:
+        grad = loop_scatter(g2, i2)
+    return grad, None
 
 
 _flat_row_gather.defvjp(_flat_row_gather_fwd, _flat_row_gather_bwd)

@@ -369,24 +369,31 @@ class MultiFrameEstimator(nn.Module):
         P = n * k2
         # flat k-major neighbour ROWS — the 3-minor tensor is never touched
         # elementwise on TPU: the pair planes are built by a Pallas sweep that
-        # transposes (R, 3) row blocks on the MXU (fusion_planes.py); the XLA
-        # twin below keeps CPU and tiny shapes on the same math
-        nbr_rows = ops.gather(
-            points2.astype(jnp.float32), idx_t.reshape(fb, P)
-        )                                                      # (FB,P,3)
+        # transposes (R, 3) row blocks on the MXU, and the whole
+        # gather→planes pair is ONE custom-VJP op whose backward never leaves
+        # plane layout (d_resi from the saved planes, d_points2 through the
+        # radix-bucket scatter — fusion_planes.py); the XLA twin below keeps
+        # CPU and tiny shapes on the same math
         p1_t = points1.astype(jnp.float32).transpose(0, 2, 1)  # (FB,3,N)
         from mocopci_tpu.ops.pallas.fusion_planes import (
-            build_pair_planes,
             build_pair_planes_xla,
+            gather_pair_planes,
         )
 
+        n2 = points2.shape[1]
         if (
             jax.default_backend() == "tpu"
             and n % 128 == 0
+            and n2 % 128 == 0
             and os.environ.get("MOCOPCI_PLANES") != "xla"  # escape hatch
         ):
-            x_planes = build_pair_planes(nbr_rows, p1_t)       # (FB,4,P)
+            x_planes = gather_pair_planes(
+                points2.astype(jnp.float32), idx_t.reshape(fb, P), p1_t
+            )                                                  # (FB,4,P)
         else:
+            nbr_rows = ops.gather(
+                points2.astype(jnp.float32), idx_t.reshape(fb, P)
+            )                                                  # (FB,P,3)
             x_planes = build_pair_planes_xla(nbr_rows, p1_t)
         resi_t = x_planes[:, :3]
         if train:

@@ -185,6 +185,67 @@ def _bpp_bwd(interpret, res, dx):
 _bpp.defvjp(_bpp_fwd, _bpp_bwd)
 
 
+def gather_pair_planes(points2, idx, p1t, interpret: bool = False):
+    """Fused neighbour-gather + pair-plane build with an all-planes backward.
+
+    Forward = ``ops.gather(points2, idx)`` (XLA row gather, hardware rate)
+    feeding the ``_fwd_kernel`` sweep above.  The win is the BACKWARD: the
+    split ops chain (``build_pair_planes`` VJP → row-layout ``d_nbr`` →
+    gather VJP scatter) pays a (R, 3) row-block write sweep (3/128 lane
+    occupancy), an (S, 3)-minor relayout, and the scatter; here the saved
+    primal output ``x`` already holds resi/dist as LANE-DENSE planes, so
+
+        d_resi = dx[:, 0:3] + dx[:, 3:4] · resi / dist
+
+    is plain fused XLA elementwise over (G, 4, P) planes, ``d_p1t`` is an
+    aligned slot-sum (k-major pair order), and ``d_points2`` goes straight
+    through ``bucket_scatter_add_planes`` — no row-major tensor is ever
+    touched in the backward.
+
+    Args:
+      points2: (G, N2, 3) f32 neighbour table (differentiable).
+      idx:     (G, P) int32 flat k-major neighbour indices (non-diff).
+      p1t:     (G, 3, N) f32 query planes (differentiable); P % N == 0.
+    Returns:
+      (G, 4, P) ``[resi_xyz, dist]`` pair planes.
+    """
+    return _gpp(points2, idx, p1t, bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gpp(points2, idx, p1t, interpret):
+    return _gpp_fwd(points2, idx, p1t, interpret)[0]
+
+
+def _gpp_fwd(points2, idx, p1t, interpret):
+    from mocopci_tpu.ops.sampling import gather
+
+    nbr = gather(points2, idx)                             # (G, P, 3)
+    x = _bpp_fwd(jax.lax.stop_gradient(nbr), jax.lax.stop_gradient(p1t),
+                 interpret)[0]
+    return x, (x, idx, points2.shape[1], p1t.shape[2])
+
+
+def _gpp_bwd(interpret, res, dx):
+    from mocopci_tpu.ops.pallas.scatter_bucket import bucket_scatter_add_planes
+
+    x, idx, n2, n = res
+    G, _, P = x.shape
+    resi = x[:, 0:3]
+    dist = x[:, 3:4]
+    d_resi = dx[:, 0:3] + dx[:, 3:4] * (resi / dist)       # (G, 3, P) planes
+    d_p2 = bucket_scatter_add_planes(d_resi, idx, n2, True, interpret)
+    d_p2 = d_p2.astype(x.dtype)
+    # d_p1t = -Σ_j d_resi over the k2 neighbour slots (k-major pair order:
+    # each slot is an aligned (3, N) lane-dense block, so this is a plain
+    # axis reduce — no strided interleave)
+    d_p1t = -jnp.sum(d_resi.reshape(G, 3, P // n, n), axis=2)
+    return d_p2, None, d_p1t
+
+
+_gpp.defvjp(_gpp_fwd, _gpp_bwd)
+
+
 def build_pair_planes_xla(nbr, p1t):
     """CPU/tiny-shape twin: the plain XLA plane build from the same inputs."""
     G, P, _ = nbr.shape

@@ -85,3 +85,34 @@ def test_multi_chunk_grid_matches_twin():
     )(nbr, p1t)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_t),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gather_pair_planes_matches_composed():
+    """The fused gather+planes op: forward and BOTH gradients against the
+    autodiff of gather -> XLA twin.  d_points2 runs through the radix-bucket
+    scatter, whose interpret-mode bf16 accumulation adds ~1e-3 relative noise
+    (f32 on the real MXU — see scatter_bucket.py)."""
+    from mocopci_tpu.ops.pallas.fusion_planes import gather_pair_planes
+    from mocopci_tpu.ops.sampling import gather
+
+    r = np.random.default_rng(3)
+    G, N, N2, k2 = 2, 128, 256, 3
+    p2 = jnp.asarray(r.normal(size=(G, N2, 3)).astype(np.float32) * 8)
+    p1t = jnp.asarray(r.normal(size=(G, 3, N)).astype(np.float32) * 8)
+    idx = jnp.asarray(r.integers(0, N2, size=(G, N * k2)).astype(np.int32))
+
+    def fused(p2, p1t):
+        return jnp.sum(jnp.sin(gather_pair_planes(p2, idx, p1t, interpret=True)))
+
+    def composed(p2, p1t):
+        return jnp.sum(jnp.sin(build_pair_planes_xla(gather(p2, idx), p1t)))
+
+    np.testing.assert_allclose(float(fused(p2, p1t)), float(composed(p2, p1t)),
+                               rtol=1e-5)
+    ga = jax.grad(fused, argnums=(0, 1))(p2, p1t)
+    gb = jax.grad(composed, argnums=(0, 1))(p2, p1t)
+    scale = np.abs(np.asarray(gb[0])).max()
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=5e-3 * scale)      # bucket interp noise
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-4, atol=1e-4)

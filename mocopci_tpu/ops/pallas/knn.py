@@ -116,6 +116,7 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
         INF = jnp.int32(0x7FFFFFFF)
 
         S = TR // 128
+        out0 = jnp.zeros((TQ, kpad), jnp.int32)
         if S >= 4 and 3 * 128 >= k and M > TR:
             # fold S slabs of 128 columns into per-column top-3 survivors:
             # elementwise across slabs, no lane crossing.  A neighbour is
@@ -135,20 +136,36 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
             m3 = rest[0]
             for s in rest[1:]:
                 m3 = jnp.minimum(m3, s)
-            cand = jnp.concatenate([m1, m2, m3], axis=1)       # (TQ, 384)
+
+            # 3-slab TOURNAMENT extraction: the fold leaves each column
+            # sorted (m1 <= m2 <= m3), so the global minimum of the remaining
+            # candidates always sits in the head slab — each of the k
+            # extractions is a min-reduce over 128 lanes (not 384) plus a
+            # shift-down of the one consumed column (keys are unique, so the
+            # equality mask fires in exactly one lane per row).  Candidate
+            # set identical to the former concatenated loop; ~3x less VPU
+            # work per iteration (measured: see scripts/knn_micro.py).
+            # fully unrolled (k is static): the fori_loop's per-iteration
+            # scheduling overhead dominated the short vector bodies
+            h, s2, s3, out = m1, m2, m3, out0
+            for i in range(k):
+                m = jnp.min(h, axis=1, keepdims=True)          # (TQ, 1)
+                picked = m & idx_mask
+                out = jnp.where(out_col == i, picked, out)
+                hit = h == m
+                h = jnp.where(hit, s2, h)
+                s2 = jnp.where(hit, s3, s2)
+                s3 = jnp.where(hit, INF, s3)
         else:
-            cand = bins[:, :]
+            def body(i, carry):
+                b, out = carry
+                m = jnp.min(b, axis=1, keepdims=True)          # (TQ, 1)
+                picked = m & idx_mask
+                out = jnp.where(out_col == i, picked, out)
+                b = jnp.where(b == m, INF, b)                  # keys are unique
+                return b, out
 
-        def body(i, carry):
-            b, out = carry
-            m = jnp.min(b, axis=1, keepdims=True)              # (TQ, 1)
-            picked = m & idx_mask
-            out = jnp.where(out_col == i, picked, out)
-            b = jnp.where(b == m, INF, b)                      # keys are unique
-            return b, out
-
-        out0 = jnp.zeros((TQ, kpad), jnp.int32)
-        _, out = lax.fori_loop(0, k, body, (cand, out0))
+            _, out = lax.fori_loop(0, k, body, (bins[:, :], out0))
         out_ref[0] = out
 
 

@@ -12,8 +12,9 @@ Today they are built as: flat row gather (G,P,3) -> transpose to (G,3,P)
 
 Each is timed fwd and fwd+bwd (grad wrt points2 and points1).
 """
-import time, os, functools
+import time, os, functools, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax
 

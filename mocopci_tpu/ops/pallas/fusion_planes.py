@@ -218,12 +218,36 @@ def _gpp(points2, idx, p1t, interpret):
 
 
 def _gpp_fwd(points2, idx, p1t, interpret):
+    import os
+
     from mocopci_tpu.ops.sampling import gather
 
-    nbr = gather(points2, idx)                             # (G, P, 3)
-    x = _bpp_fwd(jax.lax.stop_gradient(nbr), jax.lax.stop_gradient(p1t),
-                 interpret)[0]
-    return x, (x, idx, points2.shape[1], p1t.shape[2])
+    n2 = points2.shape[1]
+    n = p1t.shape[2]
+    p = idx.shape[1]
+    if (
+        not interpret
+        and jax.default_backend() == "tpu"
+        and n2 % 128 == 0
+        and n % 128 == 0
+        and p % n == 0
+        and os.environ.get("MOCOPCI_GATHER_PLANES") != "rows"  # escape hatch
+    ):
+        # radix-factorized MXU gather+build — bit-identical to the row-gather
+        # build and ~2× faster (gather_planes.py).  Assumes idx ∈ [0, n2)
+        # (the kNN contract; the row-gather twin clips instead).
+        from mocopci_tpu.ops.pallas.gather_planes import (
+            bucket_gather_pair_planes,
+        )
+
+        x = bucket_gather_pair_planes(
+            jax.lax.stop_gradient(points2), idx, jax.lax.stop_gradient(p1t)
+        )
+    else:
+        nbr = gather(points2, idx)                         # (G, P, 3)
+        x = _bpp_fwd(jax.lax.stop_gradient(nbr), jax.lax.stop_gradient(p1t),
+                     interpret)[0]
+    return x, (x, idx, n2, n)
 
 
 def _gpp_bwd(interpret, res, dx):

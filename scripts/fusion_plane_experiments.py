@@ -88,3 +88,12 @@ for name, f in [("a_current",planes_a), ("b_rows_only",rows_b),
         print(f"{name}: fwd {t_f:.2f} ms   fwd+bwd {t_g:.2f} ms", flush=True)
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+def planes_f(p1, p2):
+    """Radix-factorized MXU gather+build (ops/pallas/gather_planes.py)."""
+    from mocopci_tpu.ops.pallas.gather_planes import bucket_gather_pair_planes
+    flat = idx.transpose(0,2,1).reshape(G, P)
+    return bucket_gather_pair_planes(p2, flat, p1.transpose(0,2,1))
+
+jf = jax.jit(lambda p1,p2: jnp.sum(planes_f(p1,p2)))
+print(f"f_bucket_radix (fwd-only op): fwd {_time(jf, points1, points2):.2f} ms", flush=True)

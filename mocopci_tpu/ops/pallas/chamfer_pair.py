@@ -208,10 +208,19 @@ def _chamfer_pair_bwd(interpret, res, g):
     N = diff12.shape[1]
     v12 = (2.0 * g12)[..., None] * diff12               # (G, N, 3)
     v21 = (2.0 * g21)[..., None] * diff21               # (G, M, 3)
-    s21 = _onehot_scatter(v21, i21, N, interpret)       # (G, 3, N)
-    s12 = _onehot_scatter(v12, i12, M, interpret)       # (G, 3, M)
-    d_pc1 = v12 - s21.transpose(0, 2, 1)
-    d_pc2 = v21 - s12.transpose(0, 2, 1)
+    if N % 128 == 0 and M % 128 == 0:
+        # radix-bucket MXU scatter (3-term exact split): the O(S·N) one-hot
+        # multiply-reduce cost 9.9 ms for the 30-group full-res loss sweep,
+        # the bucket contraction 3.1 (scripts log, docs/DESIGN.md round 3g)
+        from mocopci_tpu.ops.pallas.scatter_bucket import bucket_scatter_add
+
+        d_pc1 = v12 - bucket_scatter_add(v21, i21, N, 3, interpret)
+        d_pc2 = v21 - bucket_scatter_add(v12, i12, M, 3, interpret)
+    else:
+        s21 = _onehot_scatter(v21, i21, N, interpret)   # (G, 3, N)
+        s12 = _onehot_scatter(v12, i12, M, interpret)   # (G, 3, M)
+        d_pc1 = v12 - s21.transpose(0, 2, 1)
+        d_pc2 = v21 - s12.transpose(0, 2, 1)
     return d_pc1, d_pc2
 
 

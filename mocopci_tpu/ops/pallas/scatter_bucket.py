@@ -30,6 +30,10 @@ C=3 — the B=2 train step's dominant backward):
 The matmuls run in SPLIT precision by default: ``W = W_hi + W_lo`` with two
 bf16 single-pass products accumulated in f32 (~1.5e-5 relative error — the
 one-hot ``V`` is exact in bf16) instead of the 6-pass f32 path (+3 ms).
+``split=3`` adds the third Dekker term (8+8+8 mantissa bits ≥ f32's 24, each
+residual subtraction exact in f32), reconstructing the f32 values to the
+accumulation ulp at +1 single-pass matmul — used where the XLA twin's exact
+gradients are the contract (the Chamfer VJP, ``chamfer_pair.py``).
 
 Out-of-range targets (idx < 0 or >= N) match no radix digit pair and are
 dropped — the ``mode="drop"`` semantics the gather VJP needs.  Requires
@@ -72,11 +76,19 @@ def _kernel(C: int, H: int, split: bool, v_ref, idx_ref, out_ref):
     sub = lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
     contract = (((1,), (1,)), ((), ()))            # both operands: s on lanes
     if split:
+        # bf16 Dekker split of W: the one-hot V only SELECTS, so each term's
+        # product is exact; 2 terms ≈ 1.5e-5 relative, 3 terms (8+8+8
+        # mantissa bits ≥ f32's 24; each residual subtraction exact in f32)
+        # reconstruct the f32 values to the accumulation ulp.
+        nterms = 2 if split is True else int(split)
         Vb = (lo == sub).astype(jnp.bfloat16)      # (128, ts) — exact in bf16
-        Wh = W.astype(jnp.bfloat16)
-        Wl = (W - Wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        p = lax.dot_general(Wh, Vb, contract, preferred_element_type=jnp.float32)
-        p = p + lax.dot_general(Wl, Vb, contract, preferred_element_type=jnp.float32)
+        p = jnp.zeros((W.shape[0], _LANES), jnp.float32)
+        res = W
+        for _ in range(nterms):
+            Wt = res.astype(jnp.bfloat16)
+            p = p + lax.dot_general(Wt, Vb, contract,
+                                    preferred_element_type=jnp.float32)
+            res = res - Wt.astype(jnp.float32)
     else:
         V = (lo == sub).astype(jnp.float32)
         p = lax.dot_general(W, V, contract, preferred_element_type=jnp.float32,
@@ -96,12 +108,15 @@ def _tile(HC: int, S: int) -> int:
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def bucket_scatter_add_planes(
     v: jax.Array, idx: jax.Array, n_rows: int,
-    split: bool = True, interpret: bool = False,
+    split = True, interpret: bool = False,
 ) -> jax.Array:
     """(G, C, S) value planes + (G, S) int32 targets -> (G, n_rows, C) sums.
 
     ``out[g, n, c] = Σ_s v[g, c, s]·1[idx[g, s] == n]``; out-of-range targets
-    dropped.  n_rows % 128 == 0 required.
+    dropped.  n_rows % 128 == 0 required.  ``split``: False = f32 HIGHEST
+    matmuls; True/2 = two bf16 Dekker terms (~1.5e-5 relative); 3 = exact
+    three-term reconstruction (default for gradient-exactness-sensitive
+    callers like the Chamfer VJP).
     """
     G, C, S = v.shape
     assert n_rows % _LANES == 0, n_rows
@@ -132,7 +147,7 @@ def bucket_scatter_add_planes(
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def bucket_scatter_add(
     v: jax.Array, idx: jax.Array, n_rows: int,
-    split: bool = True, interpret: bool = False,
+    split = True, interpret: bool = False,
 ) -> jax.Array:
     """(G, S, C) value rows + (G, S) int32 targets -> (G, n_rows, C) sums.
 

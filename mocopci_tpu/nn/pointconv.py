@@ -25,20 +25,39 @@ def _pointconv_core(
     grouped_xyz: jax.Array,   # (B, S, K, 3) absolute neighbour positions
     grouped_feat: jax.Array,  # (B, S, K, D) neighbour features
 ) -> jax.Array:
-    """Shared PointConv aggregation. Returns (B, S, out)."""
+    """Shared PointConv aggregation. Returns (B, S, out).
+
+    The aggregation+linear pair ``linear(einsum("bskc,bskw->bscw", X, W))``
+    is computed as the mathematically identical per-w sum
+    ``Σ_w (X ⊙ W[..., w]) @ lin[:, w, :]`` — the 4D einsum's (B,S,C,W)
+    output forced XLA layout copies on the grouped tensors and a heavier
+    transpose set in the backward (measured on v5e, L0 shape B=4:
+    fwd+bwd 22.9 → 20.6 ms; ``scripts/pointconv_layout_experiments.py``).
+    The elementwise ``X ⊙ W[..., w]`` fuses into each dot's producer, and
+    summation order over (k, then w) only reorders an f32 reduction.
+    """
     rel = grouped_xyz - query_xyz[:, :, None, :]               # (B,S,K,3)
     cdt = compute_dtype()
     new_points = jnp.concatenate(
         [rel.astype(cdt), grouped_feat.astype(cdt)], axis=-1
     )                                                           # (B,S,K,3+D)
-    weights = weightnet(rel)                                    # (B,S,K,W)
-    agg = jnp.einsum(
-        "bskc,bskw->bscw", new_points, weights.astype(cdt),
-        preferred_element_type=jnp.float32,
-    )
-    B, S = agg.shape[:2]
-    out = linear(agg.reshape(B, S, -1))
-    return nn.leaky_relu(out, LEAKY_RATE)
+    weights = weightnet(rel).astype(cdt)                        # (B,S,K,W)
+    C = new_points.shape[-1]
+    W = weights.shape[-1]
+    # dummy pass creates the linear params with their (C·W, out) shape
+    hd = linear(jnp.zeros((1, 1, C * W), cdt))
+    lv = linear.variables["params"]
+    # agg.reshape(B, S, C·W) flattens (c, w) with w minor → kernel rows are
+    # (c, w)-ordered: reshape to (C, W, out) and take the w slice
+    lin3 = lv["kernel"].astype(cdt).reshape(C, W, -1)
+    out = lv["bias"].astype(jnp.float32)
+    for w in range(W):
+        m = new_points * weights[..., w : w + 1]                # (B,S,K,C)
+        out = out + jnp.einsum(
+            "bskc,cd->bsd", m, lin3[:, w],
+            preferred_element_type=jnp.float32,
+        )
+    return nn.leaky_relu(out.astype(cdt), LEAKY_RATE)
 
 
 class PointConv(nn.Module):

@@ -70,12 +70,23 @@ def _cross_core(
     # encoding is recovered by subtracting two near-equal values, so bf16's
     # ~8 mantissa bits would leave O(|pos(xyz)|/|pos(dir)| · 2^-8) relative
     # error in the result.  f32 keeps the cancellation at ~2^-24.
+    #
+    # pos(neighbor) and points2 are summed per pair anyway, so gather their
+    # SUM: one gathered tensor instead of two halves the post-gather
+    # elementwise passes, the backward's gradient merge (add_any), and the
+    # slice copies of the concat-gather — the query-side terms are
+    # k-independent and hoist out of the pair tensor entirely.
     pos2 = pos(xyz2.astype(jnp.float32))                      # (B,M,C) with bias
-    pos_g, g2 = ops.group_multi(idx, pos2, points2)
+    tab = pos2 + points2.astype(jnp.float32)                  # (B,M,C)
+    (tg,) = ops.group_multi(idx, tab)                         # (B,N1,k,C)
     bias = pos.variables["params"]["bias"]
-    pos_dir = pos_g - (pos(xyz1.astype(jnp.float32)) - bias)[:, :, None, :]
-    g1 = points1[:, :, None, :]                               # broadcast over k
-    x = nn.leaky_relu(g2 + g1 + pos_dir.astype(g2.dtype), LEAKY_RATE)
+    base = (
+        points1.astype(jnp.float32)
+        - (pos(xyz1.astype(jnp.float32)) - bias)
+    )                                                         # (B,N1,C)
+    x = nn.leaky_relu(
+        (tg + base[:, :, None, :]).astype(points2.dtype), LEAKY_RATE
+    )
     for layer in mlp:
         x = layer(x)
     return jnp.max(x, axis=2)                                 # (B,N1,C)

@@ -22,8 +22,7 @@ def _pointconv_core(
     weightnet: WeightNet,
     linear: nn.Dense,
     query_xyz: jax.Array,     # (B, S, 3)
-    grouped_xyz: jax.Array,   # (B, S, K, 3) absolute neighbour positions
-    grouped_feat: jax.Array,  # (B, S, K, D) neighbour features
+    grouped_rows: jax.Array,  # (B, S, K, 3+D) raw [xyz | feat] neighbour rows
 ) -> jax.Array:
     """Shared PointConv aggregation. Returns (B, S, out).
 
@@ -35,12 +34,21 @@ def _pointconv_core(
     fwd+bwd 22.9 → 20.6 ms; ``scripts/pointconv_layout_experiments.py``).
     The elementwise ``X ⊙ W[..., w]`` fuses into each dot's producer, and
     summation order over (k, then w) only reorders an f32 reduction.
+
+    ``X = concat([nbr_xyz − q, nbr_feat])`` is built as ONE broadcast
+    subtract on the raw gathered rows, ``grouped_rows − [q | 0]`` — the
+    slice-into-two / re-concatenate round trip of the former
+    (grouped_xyz, grouped_feat) interface cost three full passes over the
+    (B, S, K, 3+D) tensor plus an add_any gradient merge in the backward.
+    Only the query subtraction differs per channel group (features are NOT
+    query-subtracted — ref ``mocopci.py:1331-1339``), so padding the query
+    with D zeros reproduces it exactly.
     """
-    rel = grouped_xyz - query_xyz[:, :, None, :]               # (B,S,K,3)
     cdt = compute_dtype()
-    new_points = jnp.concatenate(
-        [rel.astype(cdt), grouped_feat.astype(cdt)], axis=-1
-    )                                                           # (B,S,K,3+D)
+    rel = grouped_rows[..., :3] - query_xyz[:, :, None, :]     # (B,S,K,3)
+    D = grouped_rows.shape[-1] - 3
+    qpad = jnp.pad(query_xyz, ((0, 0), (0, 0), (0, D)))        # (B,S,3+D)
+    new_points = (grouped_rows - qpad[:, :, None, :]).astype(cdt)
     weights = weightnet(rel).astype(cdt)                        # (B,S,K,W)
     C = new_points.shape[-1]
     W = weights.shape[-1]
@@ -79,11 +87,14 @@ class PointConv(nn.Module):
     def __call__(self, xyz, feat):
         """xyz: (B, N, 3); feat: (B, N, D) -> (B, N, out)."""
         idx = ops.knn(self.nsample, xyz, xyz)
-        grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
-        return self.grouped(xyz, grouped_xyz, grouped_feat)
+        rows = ops.group(jnp.concatenate([xyz, feat], axis=-1), idx)
+        return _pointconv_core(self.wn, self.linear, xyz, rows)
 
     def grouped(self, query_xyz, grouped_xyz, grouped_feat):
-        return _pointconv_core(self.wn, self.linear, query_xyz, grouped_xyz, grouped_feat)
+        rows = jnp.concatenate(
+            [grouped_xyz, grouped_feat.astype(grouped_xyz.dtype)], axis=-1
+        )
+        return _pointconv_core(self.wn, self.linear, query_xyz, rows)
 
 
 class PointConvD(nn.Module):
@@ -116,8 +127,11 @@ class PointConvD(nn.Module):
             fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather(xyz, fps_idx)
         idx = ops.knn(self.nsample, xyz, new_xyz)
-        grouped_xyz, grouped_feat = ops.group_multi(idx, xyz, feat)
-        return new_xyz, self.grouped(new_xyz, grouped_xyz, grouped_feat)
+        rows = ops.group(jnp.concatenate([xyz, feat], axis=-1), idx)
+        return new_xyz, _pointconv_core(self.wn, self.linear, new_xyz, rows)
 
     def grouped(self, query_xyz, grouped_xyz, grouped_feat):
-        return _pointconv_core(self.wn, self.linear, query_xyz, grouped_xyz, grouped_feat)
+        rows = jnp.concatenate(
+            [grouped_xyz, grouped_feat.astype(grouped_xyz.dtype)], axis=-1
+        )
+        return _pointconv_core(self.wn, self.linear, query_xyz, rows)

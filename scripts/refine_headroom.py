@@ -77,7 +77,8 @@ def main(G=3):
     print("knn_down_ms:", out["knn_down_ms"], flush=True)
 
     # stage: transformer @2048 (kNN 2048^2 + grouping + attention math)
-    df = jnp.asarray(r.normal(size=(G, cfg.refine_npoint, c0)).astype(np.float32))
+    c1 = cfg.enc_channels[1]
+    df = jnp.asarray(r.normal(size=(G, cfg.refine_npoint, c1)).astype(np.float32))
 
     def shape1(m, f, x):
         return m.estimator.shape1(f, x)
@@ -95,7 +96,7 @@ def main(G=3):
     def lvl1(m, b, f):
         return m.estimator.refine_level1(b, f)
 
-    wf = jnp.asarray(r.normal(size=(G, N, c0)).astype(np.float32))
+    wf = jnp.asarray(r.normal(size=(G, N, c1)).astype(np.float32))
     l1 = jax.jit(lambda v, b, f: model.apply(v, b, f, method=lvl1)[1])
     out["refine_level1_ms"] = round(_time(l1, v, base, wf), 2)
     print("refine_level1_ms:", out["refine_level1_ms"], flush=True)

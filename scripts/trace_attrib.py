@@ -43,7 +43,9 @@ def build(kind, B):
         gt = jnp.asarray(r.normal(size=(B, F, N, 3)).astype(np.float32))
         batch = {"pc1": x1, "pc2": x2, "gt": gt}
         key = jax.random.PRNGKey(0)
-        fn = jax.jit(lambda s, b: train_step(s, b, key, cfg, tcfg)[1]["loss"])
+        # keep the WHOLE step live: returning only the loss lets XLA DCE the
+        # backward + AdamW update and the trace silently becomes forward-only
+        fn = jax.jit(lambda s, b: train_step(s, b, key, cfg, tcfg))
         args = (state, batch)
     else:
         model = MoCoPCI(cfg)

@@ -35,6 +35,9 @@ HIGHEST precision, which is slower than 3C elementwise ops.
 
 Accuracy: like ``lax.approx_min_k`` this is approximate when M > TR — a true
 neighbour is lost only if a *closer* point lands in the same bin column.
+``MOCOPCI_KNN_WIDEN=1`` widens the ref tile to cover 1024 < M <= 2·tr in one
+exact pass (see ``fused_knn_pallas``); off by default — measured 2-3x kernel
+latency at the band call sites for a 0.993 -> 1.0 recall gain.
 Expected recall for k neighbours out of L=TR bins is ~1 - (k-1)/(2L) ≈ 0.985
 for k=32, L=1024 (>= the 0.95 default of the XLA path it replaces); exact when
 M <= TR up to the packing quantisation: stealing ``ceil(log2 M)`` mantissa
@@ -45,6 +48,7 @@ neighbour set (see ops/distance.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -169,7 +173,6 @@ def _knn_kernel(k: int, M: int, TR: int, idx_bits: int, metric: str,
         out_ref[0] = out
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def fused_knn_pallas(
     query: jax.Array,
     ref: jax.Array,
@@ -181,6 +184,20 @@ def fused_knn_pallas(
 ) -> jax.Array:
     """k nearest reference points per query, streaming over the ref axis.
 
+    With MOCOPCI_KNN_WIDEN=1 (read at trace time, like the other kernel
+    hatches) and 1024 < M <= 2·tr, the ref tile widens to cover M in one pass
+    — the small-M exact regime: every reference point gets its own bin column
+    (exact up to the packing quantisation).  Covers the 1024 < M <= 2048 call
+    sites (encoder level 2, the L1 correlation layers, the refine-head point
+    transformer) that otherwise take the fold's collision loss.  OFF by
+    default: the wide tile skips the fold3 tournament, so extraction runs
+    k min-reduces over 2048 lanes instead of 128 — measured 2-3x kernel
+    latency at the band shapes (0.018->0.77 ms at 2048x2048/k=16,
+    0.64->1.79 ms at 8192x2048/k=16, 0.78->2.49 ms at 6x2048x2048/k=32 on
+    v5e) for a 0.993 -> 1.0 recall gain that every live consumer is
+    insensitive to (permutation-invariant neighbour sets, approx mode is the
+    documented default — see ops/distance.py).
+
     Args:
       query: (B, N, C) fp32.  For metric="cosine" pass pre-normalised rows.
       ref:   (B, M, C) fp32 (pre-normalised for cosine).
@@ -189,6 +206,22 @@ def fused_knn_pallas(
     Returns:
       (B, N, k) int32 indices into ref, ascending distance.
     """
+    M = ref.shape[1]
+    if tr < M <= 2 * tr and os.environ.get("MOCOPCI_KNN_WIDEN") == "1":
+        tr = 2 * tr
+    return _fused_knn_call(query, ref, k, metric, tq, tr, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _fused_knn_call(
+    query: jax.Array,
+    ref: jax.Array,
+    k: int,
+    metric: str,
+    tq: int,
+    tr: int,
+    interpret: bool,
+) -> jax.Array:
     assert metric in ("euclidean", "cosine"), metric
     B, N, C = query.shape
     M = ref.shape[1]

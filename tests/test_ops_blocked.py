@@ -86,10 +86,24 @@ def test_fused_knn_pallas_fold3_recall(rng):
     q = rng.normal(size=(1, 64, 3)).astype(np.float32)
     ref = rng.normal(size=(1, 1500, 3)).astype(np.float32)
     got = np.asarray(fused_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 8,
-                                      tr=1024, interpret=True))
+                                      interpret=True))
     want = _exact_knn(q, ref, 8)
     hits = sum(len(set(got[0, n]) & set(want[0, n])) for n in range(64))
     assert hits / (64 * 8) > 0.97
+
+
+def test_fused_knn_pallas_widened_exact_band(rng, monkeypatch):
+    # MOCOPCI_KNN_WIDEN=1 widens 1024 < M <= 2048 to one exact 2048-wide pass
+    from mocopci_tpu.ops.pallas.knn import fused_knn_pallas
+
+    monkeypatch.setenv("MOCOPCI_KNN_WIDEN", "1")
+    q = rng.normal(size=(1, 64, 3)).astype(np.float32)
+    ref = rng.normal(size=(1, 1500, 3)).astype(np.float32)
+    got = np.asarray(fused_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 8,
+                                      interpret=True))
+    want = _exact_knn(q, ref, 8)
+    for n in range(64):
+        assert set(got[0, n]) == set(want[0, n])
 
 
 def test_fused_knn_pallas_cosine_mxu_path(rng):

@@ -136,6 +136,134 @@ def _fps_kernel(n_real: int, npoint: int, xyz_ref, out_ref):
     out_ref[:, :] = out
 
 
+def _rot_within_group(s: int, shift: int):
+    """(TB, TB) one-hot matrix rotating sublane rows by ``shift`` WITHIN each
+    ``s``-row group.  Cross-sublane data movement has no cheap vector form on
+    the VPU; a one-hot matmul runs on the MXU instead (exact for f32:
+    multiply by 1.0, add 0.0).  Built from iota so Pallas sees no captured
+    array constant."""
+    r2 = lax.broadcasted_iota(jnp.int32, (_TB, _TB), 0)
+    c2 = lax.broadcasted_iota(jnp.int32, (_TB, _TB), 1)
+    tgt = (r2 // s) * s + ((r2 % s) + shift) % s
+    return jnp.where(c2 == tgt, 1.0, 0.0).astype(jnp.float32)
+
+
+def _fps_level_split(xv, yv, zv, n_real: int, npoint: int, opad: int, s: int):
+    """FPS level with each cloud's points SPLIT across ``s`` sublane rows.
+
+    The plain layout (one cloud per sublane row) idles ``TB - n_clouds``
+    sublanes at the live call sites (2-4 clouds per launch): every vector op
+    of the 2048-step selection loop then runs at 1/4 - 1/2 occupancy.  Here
+    cloud c occupies rows ``c*s .. c*s+s-1``, row ``rw`` holding the
+    contiguous chunk ``[rw*chunk, (rw+1)*chunk)`` of its points, so the
+    distance/fold work per step shrinks by ``s``x.
+
+    After the per-row lane fold (as in ``_fps_level``), a cross-row
+    tournament of ``log2 s`` rotate-compare rounds makes EVERY row of a group
+    hold the group winner — comparisons are lexicographic on
+    (min-distance, global index) so all rows converge to the identical
+    winner even on exact distance ties (rows of one cloud must agree on the
+    picked point or the running state diverges).  The winner row then feeds
+    the next distance update directly; indices/coords are written on all
+    rows and the wrapper keeps row 0 of each group.
+
+    Tie semantics: within a row the fold keeps the LEFT half (as before);
+    across rows the LOWEST global index wins — both match ``jnp.argmax``'s
+    first-index rule except for lanes congruent mod 128 within one chunk,
+    the same (benign) deviation the plain kernel has.
+    """
+    chunk = xv.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (_TB, chunk), dimension=1)
+    rw = lax.broadcasted_iota(jnp.int32, (_TB, chunk), dimension=0) % s
+    gidx = (rw * chunk + lane).astype(jnp.float32)   # global point id, exact in f32
+    full0 = jnp.full((_TB, chunk), 1e10, jnp.float32)
+    mind0 = jnp.where(rw * chunk + lane < n_real, full0, -1.0)
+    out_col = lax.broadcasted_iota(jnp.int32, (_TB, opad), dimension=1)
+    rots = [_rot_within_group(s, sh) for sh in
+            [1 << i for i in range(s.bit_length() - 1)]]
+
+    def _argmax_group(mind):
+        carry5 = (mind, gidx, xv, yv, zv)
+
+        def _fold(t, lo, hi):
+            take_r = t[0][:, lo:hi] > t[0][:, : hi - lo]
+            return tuple(
+                jnp.where(take_r, a[:, lo:hi], a[:, : hi - lo]) for a in t
+            )
+
+        w = chunk
+        while w > 128:
+            h = w // 2
+            if h % 128 == 0:
+                carry5 = _fold(carry5, h, w)
+                w = h
+            else:
+                first = tuple(a[:, :128] for a in carry5)
+                for c in range(1, w // 128):
+                    take_r = carry5[0][:, c * 128:(c + 1) * 128] > first[0]
+                    first = tuple(
+                        jnp.where(take_r, a[:, c * 128:(c + 1) * 128], f)
+                        for f, a in zip(first, carry5)
+                    )
+                carry5 = first
+                w = 128
+        # cross-row tournament: after log2(s) rotate-compare rounds every row
+        # of a group holds the group's lexicographic winner columns
+        for R in rots:
+            other = tuple(
+                jax.lax.dot(R, a, precision=jax.lax.Precision.HIGHEST)
+                for a in carry5
+            )
+            v_s, i_s = carry5[0], carry5[1]
+            v_o, i_o = other[0], other[1]
+            take_o = (v_o > v_s) | ((v_o == v_s) & (i_o < i_s))
+            carry5 = tuple(
+                jnp.where(take_o, o, a) for a, o in zip(carry5, other)
+            )
+        v, ix, cx, cy, cz = carry5
+        j = jnp.argmax(v, axis=1).astype(jnp.int32)        # identical per group
+        sel = lax.broadcasted_iota(jnp.int32, (_TB, 128), 1) == j[:, None]
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=1, keepdims=True)
+        return pick(ix), pick(cx), pick(cy), pick(cz)
+
+    def step(i, carry):
+        mind, out, px, py, pz = carry                      # px/py/pz: (TB, 1)
+        d = (xv - px) ** 2 + (yv - py) ** 2 + (zv - pz) ** 2
+        mind = jnp.minimum(mind, d)
+        nxt, px, py, pz = _argmax_group(mind)
+        out = jnp.where(out_col == i, nxt.astype(jnp.int32), out)
+        return mind, out, px, py, pz
+
+    def body(j, carry):
+        carry = step(2 * j + 1, carry)
+        return step(2 * j + 2, carry)
+
+    # seed: point 0 of each cloud = lane 0 of the group's FIRST row,
+    # broadcast to every row of the group by a row-selector matmul
+    r2 = lax.broadcasted_iota(jnp.int32, (_TB, _TB), 0)
+    c2 = lax.broadcasted_iota(jnp.int32, (_TB, _TB), 1)
+    S0 = jnp.where(c2 == (r2 // s) * s, 1.0, 0.0).astype(jnp.float32)
+    p0 = tuple(
+        jax.lax.dot(S0, p, precision=jax.lax.Precision.HIGHEST)
+        for p in (xv[:, 0:1], yv[:, 0:1], zv[:, 0:1])
+    )
+    out0 = jnp.zeros((_TB, opad), jnp.int32)
+    carry = (mind0, out0, *p0)
+    n_pairs = (npoint - 1) // 2
+    carry = lax.fori_loop(0, n_pairs, body, carry)
+    for i in range(2 * n_pairs + 1, npoint):
+        carry = step(i, carry)
+    return carry[1]
+
+
+def _fps_kernel_split(n_real: int, npoint: int, s: int, xyz_ref, out_ref):
+    # xyz_ref: (3, TB, chunk) f32 — split layout (s rows per cloud).
+    out_ref[:, :] = _fps_level_split(
+        xyz_ref[0], xyz_ref[1], xyz_ref[2],
+        n_real, npoint, out_ref.shape[-1], s,
+    )
+
+
 def _fps_pyramid_kernel(n_real: int, npoints, xyz_ref, *out_refs):
     """Cascaded FPS pyramid in ONE kernel invocation.
 
@@ -160,15 +288,69 @@ def _fps_pyramid_kernel(n_real: int, npoints, xyz_ref, *out_refs):
             nr = npt
 
 
+def _split_factor(B: int, N: int) -> int:
+    """Largest power-of-two row split ``s`` such that the clouds still fit a
+    grid cell (``B*s <= TB``) and the chunks stay lane-aligned.
+
+    OPT-IN (``MOCOPCI_FPS_SPLIT=1``): the split layout is oracle-exact
+    (see ``tests/test_ops_sampling.py``) and cuts the selection loop's
+    vector work by ``s``x at the live 2-4 cloud call sites, but the
+    per-step cross-row one-hot ``lax.dot``s blow up XLA/Mosaic compile
+    time at production npoint (>6 min at 8192->2048 on v5e vs ~40 s for
+    the plain kernel; XLA:CPU shows the same pathology growing with
+    npoint).  Until the winner broadcast is re-expressed without matmuls
+    (e.g. sublane rolls once Mosaic exposes them), the plain layout
+    stays the default."""
+    import os
+
+    if os.environ.get("MOCOPCI_FPS_SPLIT") != "1":  # opt-in
+        return 1
+    s = 1
+    while B * (2 * s) <= _TB and N % (2 * s * 128) == 0 and N // (2 * s) >= 128:
+        s *= 2
+    return s
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def farthest_point_sample_pallas(
     xyz: jax.Array, npoint: int, interpret: bool = False
 ) -> jax.Array:
     """FPS: (B, N, 3) float -> (B, npoint) int32 indices."""
     B, N, _ = xyz.shape
+    opad = _round_up(npoint, 128)
+    s = _split_factor(B, N)
+    if s > 1:
+        # split layout: cloud b -> s sublane rows of N/s contiguous points
+        # each (full VPU occupancy at the live 2-4 cloud call sites)
+        chunk = N // s
+        xt = (
+            xyz.astype(jnp.float32)
+            .reshape(B * s, chunk, 3)
+            .transpose(2, 0, 1)
+        )                                                  # (3, B*s, chunk)
+        bpad = _round_up(B * s, _TB)
+        if bpad != B * s:
+            xt = jnp.concatenate(
+                [xt, jnp.zeros((3, bpad - B * s, chunk), jnp.float32)], axis=1
+            )
+        kernel = functools.partial(_fps_kernel_split, N, npoint, s)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bpad // _TB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (3, _TB, chunk), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (_TB, opad), lambda b: (b, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bpad, opad), jnp.int32),
+            interpret=interpret,
+        )(xt)
+        return out[0 : B * s : s, :npoint]   # every row of a group agrees
     npad = _round_up(N, 128)
     bpad = _round_up(B, _TB)
-    opad = _round_up(npoint, 128)
     # (3, Bpad, Npad): coordinate planes, batch on sublanes, points on lanes.
     xt = jnp.zeros((3, bpad, npad), jnp.float32)
     xt = xt.at[:, :B, :N].set(xyz.astype(jnp.float32).transpose(2, 0, 1))

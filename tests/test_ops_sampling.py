@@ -45,6 +45,25 @@ def test_fps_pallas_odd_vreg_width_matches_oracle(rng):
     np.testing.assert_array_equal(got, _np_fps(xyz, 24))
 
 
+def test_fps_pallas_sublane_split_matches_oracle(rng, monkeypatch):
+    # opt-in split layout (MOCOPCI_FPS_SPLIT=1): lane-aligned N and few
+    # clouds -> each cloud's points spread over s sublane rows with a
+    # cross-row winner tournament.  Small npoint keeps the XLA:CPU interpret
+    # compile fast; indices must still be EXACTLY the oracle's on
+    # non-degenerate clouds.
+    from mocopci_tpu.ops.pallas.fps import _split_factor
+
+    monkeypatch.setenv("MOCOPCI_FPS_SPLIT", "1")
+    for B, N, npt in [(1, 256, 8), (3, 256, 9), (2, 512, 8)]:
+        assert _split_factor(B, N) > 1
+        xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+        got = np.asarray(
+            farthest_point_sample_pallas(jnp.asarray(xyz), npt, interpret=True)
+        )
+        np.testing.assert_array_equal(got, _np_fps(xyz, npt))
+    farthest_point_sample_pallas.clear_cache()
+
+
 def test_fps_covers_cloud(rng):
     # farthest-point property: no duplicates while npoint <= N distinct pts
     xyz = rng.normal(size=(1, 100, 3)).astype(np.float32)

@@ -45,23 +45,25 @@ def test_fps_pallas_odd_vreg_width_matches_oracle(rng):
     np.testing.assert_array_equal(got, _np_fps(xyz, 24))
 
 
-def test_fps_pallas_sublane_split_matches_oracle(rng, monkeypatch):
-    # opt-in split layout (MOCOPCI_FPS_SPLIT=1): lane-aligned N and few
-    # clouds -> each cloud's points spread over s sublane rows with a
-    # cross-row winner tournament.  Small npoint keeps the XLA:CPU interpret
-    # compile fast; indices must still be EXACTLY the oracle's on
+def test_fps_pallas_sublane_split_matches_oracle(rng):
+    # split layout (default-on): lane-aligned N and few clouds -> each
+    # cloud's points spread over s sublane rows with a cross-row
+    # roll-butterfly winner tournament.  Small npoint keeps the XLA:CPU
+    # interpret compile fast; indices must still be EXACTLY the oracle's on
     # non-degenerate clouds.
-    from mocopci_tpu.ops.pallas.fps import _split_factor
+    from mocopci_tpu.ops.pallas.fps import _split_factor, set_fps_split
 
-    monkeypatch.setenv("MOCOPCI_FPS_SPLIT", "1")
-    for B, N, npt in [(1, 256, 8), (3, 256, 9), (2, 512, 8)]:
-        assert _split_factor(B, N) > 1
-        xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
-        got = np.asarray(
-            farthest_point_sample_pallas(jnp.asarray(xyz), npt, interpret=True)
-        )
-        np.testing.assert_array_equal(got, _np_fps(xyz, npt))
-    farthest_point_sample_pallas.clear_cache()
+    set_fps_split(True)
+    try:
+        for B, N, npt in [(1, 256, 8), (3, 256, 9), (2, 512, 8)]:
+            assert _split_factor(B, N) > 1
+            xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+            got = np.asarray(
+                farthest_point_sample_pallas(jnp.asarray(xyz), npt, interpret=True)
+            )
+            np.testing.assert_array_equal(got, _np_fps(xyz, npt))
+    finally:
+        set_fps_split(True)  # restore the default; clears split-jit cache
 
 
 def test_fps_covers_cloud(rng):
@@ -150,6 +152,32 @@ def test_fps_pyramid_pallas_matches_sequential(rng):
         want = _np_fps(pc, n)
         np.testing.assert_array_equal(np.asarray(g), want)
         pc = np.take_along_axis(pc, want[..., None], axis=1)
+
+
+def test_fps_pyramid_pallas_split_matches_sequential(rng, monkeypatch):
+    """Split-layout pyramid (strided-roll re-split between levels) == chain.
+
+    npoints[0]=132 -> opad 256, so level 1 re-splits the collected planes
+    across 2 rows with the strided sublane roll; npoints[1]=16 -> level 2
+    runs with s_data=1 (width 128, duplicated chunks)."""
+    from mocopci_tpu.ops.pallas import fps as fps_mod
+
+    monkeypatch.setattr(fps_mod, "_SPLIT_MIN_NPOINT", 1)
+    fps_mod.set_fps_split(True)
+    try:
+        xyz = rng.normal(size=(2, 512, 3)).astype(np.float32)
+        assert fps_mod._split_factor(2, 512) == 4
+        npoints = (132, 16, 8)
+        got = fps_mod.farthest_point_sample_pyramid_pallas(
+            jnp.asarray(xyz), npoints, interpret=True
+        )
+        pc = xyz
+        for g, n in zip(got, npoints):
+            want = _np_fps(pc, n)
+            np.testing.assert_array_equal(np.asarray(g), want)
+            pc = np.take_along_axis(pc, want[..., None], axis=1)
+    finally:
+        fps_mod.set_fps_split(True)  # restore default + clear caches
 
 
 def test_fps_pyramid_dispatch_cpu_matches_sequential(rng):

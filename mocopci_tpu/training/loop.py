@@ -138,13 +138,21 @@ def eval_step(
         deterministic=True,
     )
     out = result["out"]                                     # (B, F, N, 3)
-    F = out.shape[1]
+    B, F, N, _ = out.shape
+    # CD: fold the frame axis into the batch axis — one launch for all F
+    # frames (independent per row, so values are identical; measured 4.6 →
+    # 3.6 ms on v5e).  EMD stays per-frame: batching the annealing matvecs
+    # to B·F=3 makes the dot_general ~40% SLOWER than three sequential B=1
+    # runs regardless of chunking (72 vs 52 ms measured), so the "fold EMD
+    # too" idea is rejected by measurement.
+    pred = out.reshape(B * F, N, 3)
+    gt = batch["gt"].reshape(B * F, N, 3)
+    cd = ops.chamfer_distance_per_sample(pred, gt).reshape(B, F)
     metrics = {}
     for j in range(F):
-        pred, gt_j = out[:, j], batch["gt"][:, j]
-        metrics[f"cd_{j}"] = ops.chamfer_distance_per_sample(pred, gt_j)
+        metrics[f"cd_{j}"] = cd[:, j]
         if with_emd:
             metrics[f"emd_{j}"] = (
-                ops.earth_mover_distance_auto(pred, gt_j) / pred.shape[1]
+                ops.earth_mover_distance_auto(out[:, j], batch["gt"][:, j]) / N
             )
     return metrics

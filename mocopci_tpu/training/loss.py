@@ -23,13 +23,20 @@ from mocopci_tpu.config import ModelConfig, TrainConfig
 
 
 def gt_pyramid(gt: jax.Array, cfg: ModelConfig) -> Tuple[jax.Array, ...]:
-    """gt: (B, F, N, 3) -> tuple of (B, F, n_l, 3) for n_l in [N, n1, n2, n3]."""
+    """gt: (B, F, N, 3) -> tuple of (B, F, n_l, 3) for n_l in [N, n1, n2, n3].
+
+    Greedy FPS is prefix-consistent — step i depends only on steps < i, so
+    the first m picks of an n-point run ARE the m-point run.  All levels
+    sample from the full-resolution cloud here, so ONE kernel launch at the
+    largest level and index-prefix slices replace the three separate FPS
+    launches (identical outputs; the B=2 train trace spent 15 ms on the
+    three-launch version's kernels + gathers)."""
     B, F, N, _ = gt.shape
     flat = gt.reshape(B * F, N, 3)
+    idx = ops.farthest_point_sample(flat, max(cfg.pyramid[:3]))
     out = [gt]
     for n in cfg.pyramid[:3]:
-        idx = ops.farthest_point_sample(flat, n)
-        out.append(ops.gather(flat, idx).reshape(B, F, n, 3))
+        out.append(ops.gather(flat, idx[:, :n]).reshape(B, F, n, 3))
     return tuple(out)
 
 

@@ -113,11 +113,56 @@ def core_f(xyz, feat):
                                preferred_element_type=jnp.float32)
     return out
 
+def core_h(xyz, feat):
+    """round-4: k-sum BEFORE the per-w dot.  lin does not depend on k, so
+    Σ_k (X ⊙ W_w) can reduce the (B,S,K,C) tensor to (B,S,C) on the VPU
+    first — the per-w MXU dot then contracts K× fewer rows."""
+    flat = idx.reshape(B, N * K)
+    tab = jnp.concatenate([xyz, feat], axis=-1)
+    rows = ops.gather(tab, flat)                             # (B,N*K,3+D)
+    rel = rows[..., :3].reshape(B, N, K, 3) - xyz[:, :, None, :]
+    wts = jax.nn.relu(rel @ wn_w)
+    qpad = jnp.pad(xyz, ((0, 0), (0, 0), (0, D)))
+    npts = rows.reshape(B, N, K, 3 + D) - qpad[:, :, None, :]
+    lin3 = lin.reshape(3 + D, W, 64)
+    out = 0.
+    for w in range(W):
+        m = (npts * wts[..., w:w + 1]).sum(axis=2)           # (B,N,C)
+        out = out + jnp.einsum("bsc,cd->bsd", m, lin3[:, w],
+                               preferred_element_type=jnp.float32)
+    return out
+
+def core_g(xyz, feat):
+    """round-4: channels-on-sublanes planes.  Gather k-major rows, ONE
+    transpose to (B, C, K, N) — every later op is lane-dense over N:
+    WeightNet as (h,c)x(c, K·N) sublane contractions, k-sum a sublane-
+    strided reduce, per-w dot a (C→d) sublane contraction with N on lanes.
+    Output transposed back once."""
+    flat = idx.transpose(0, 2, 1).reshape(B, K * N)          # k-major
+    tab = jnp.concatenate([xyz, feat], axis=-1)
+    rows = ops.gather(tab, flat)                             # (B,K*N,C)
+    Xt = rows.transpose(0, 2, 1).reshape(B, 3 + D, K, N)     # (B,C,K,N)
+    qt = xyz.transpose(0, 2, 1)                              # (B,3,N)
+    rel = Xt[:, :3] - qt[:, :, None, :]                      # (B,3,K,N)
+    wts = jax.nn.relu(jnp.einsum("ch,bckn->bhkn", wn_w, rel,
+                                 preferred_element_type=jnp.float32))
+    qpad = jnp.concatenate([qt, jnp.zeros((B, D, N), qt.dtype)], axis=1)
+    Xsub = Xt - qpad[:, :, None, :]                          # (B,C,K,N)
+    lin3 = lin.reshape(3 + D, W, 64)
+    out_t = 0.
+    for w in range(W):
+        m = (Xsub * wts[:, w:w + 1]).sum(axis=2)             # (B,C,N)
+        out_t = out_t + jnp.einsum("bcn,cd->bdn", m, lin3[:, w],
+                                   preferred_element_type=jnp.float32)
+    return out_t.transpose(0, 2, 1)
+
 CANDS = [("a_current", core_a), ("b_flat_rows", core_b),
          ("c_flip_out", core_c), ("d_wloop", core_d)]
 import sys as _sys
 if "--late" in _sys.argv:
     CANDS = [("a_current", core_a), ("e_kouter", core_e), ("f_kouter_wloop", core_f)]
+if "--r4" in _sys.argv:
+    CANDS = [("d_wloop", core_d), ("h_ksum_first", core_h), ("g_planes", core_g)]
 for name, f in CANDS:
     try:
         jf = jax.jit(lambda a,b,f=f: jnp.sum(f(a,b)))

@@ -78,12 +78,43 @@ def _cross_core(
     # k-independent and hoist out of the pair tensor entirely.
     pos2 = pos(xyz2.astype(jnp.float32))                      # (B,M,C) with bias
     tab = pos2 + points2.astype(jnp.float32)                  # (B,M,C)
-    (tg,) = ops.group_multi(idx, tab)                         # (B,N1,k,C)
     bias = pos.variables["params"]["bias"]
     base = (
         points1.astype(jnp.float32)
         - (pos(xyz1.astype(jnp.float32)) - bias)
     )                                                         # (B,N1,C)
+
+    cdt = compute_dtype()
+    if len(mlp) == 1 and cdt == jnp.float32:
+        # every live call site (bid/fe at up_1/up_2, cross3) has exactly one
+        # post-gather ConvLReLU — on TPU the add→leaky→dense→leaky→max tail
+        # runs as ONE fused Pallas sweep per direction (k-major rows, the
+        # running max never leaves VMEM; custom VJP recomputes tiles instead
+        # of materializing the (B, N1, k, C) activations — see
+        # ops/pallas/cross_tail.py).  The XLA twin below is the same
+        # arithmetic and serves CPU + the bf16/multi-layer fallback.
+        _ = mlp[0](jnp.zeros((1, 1, tab.shape[-1]), cdt))     # create params
+        cp = mlp[0].variables["params"]["conv"]
+        w1 = cp["kernel"].astype(jnp.float32)
+        b1 = cp["bias"].astype(jnp.float32)
+        B, K = idx.shape[0], idx.shape[-1]
+        idx_km = idx.transpose(0, 2, 1).reshape(B, -1)        # k-major flat
+
+        def fused(tab, base):
+            from mocopci_tpu.ops.pallas.cross_tail import cross_tail
+
+            rows = ops.gather(tab, idx_km)                    # (B, k·N1, C)
+            return cross_tail(rows, base, w1, b1, K)
+
+        def xla(tab, base):
+            (tg,) = ops.group_multi(idx, tab)
+            x = nn.leaky_relu(tg + base[:, :, None, :], LEAKY_RATE)
+            x = nn.leaky_relu(x @ w1 + b1, LEAKY_RATE)
+            return jnp.max(x, axis=2)
+
+        return jax.lax.platform_dependent(tab, base, tpu=fused, default=xla)
+
+    (tg,) = ops.group_multi(idx, tab)                         # (B,N1,k,C)
     x = nn.leaky_relu(
         (tg + base[:, :, None, :]).astype(points2.dtype), LEAKY_RATE
     )

@@ -65,12 +65,15 @@ def _kernel(C: int, H: int, split: bool, v_ref, idx_ref, out_ref):
     lo = idx & (_LANES - 1)
 
     # W[r, s] = vp[r % C, s] where hi[s] == r // C, else 0   — (H*C, ts)
+    # v_rep is a pure sublane replication (vp tiled H times): broadcast +
+    # reshape, ONE pass — the former per-channel where-chain was O(C) passes
+    # over the (H·C, ts) plane, which priced C=64 callers out of the kernel
+    # (the gate below C ≤ 4 existed because of it).
     r_iota = lax.broadcasted_iota(jnp.int32, (H * C, 1), 0)
     h_of_r = r_iota // C
-    c_of_r = r_iota - h_of_r * C
-    v_rep = vp[0:1]
-    for c in range(1, C):
-        v_rep = jnp.where(c_of_r == c, vp[c : c + 1], v_rep)
+    v_rep = jnp.broadcast_to(vp[None], (H, C, vp.shape[-1])).reshape(
+        H * C, vp.shape[-1]
+    )
     W = jnp.where(hi == h_of_r, v_rep, 0.0)        # (H*C, ts)
 
     sub = lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)

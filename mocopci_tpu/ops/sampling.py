@@ -196,10 +196,16 @@ def _flat_row_gather_bwd(res, g):
     # (3.2 ms per 524k-row group; 19.4 ms of the B=2 train step), while the
     # bucket kernel runs the same contraction as Wᵀ@V matmuls (see
     # ``ops/pallas/scatter_bucket.py``).  Gates: lane-radix needs N % 128
-    # == 0; C ≤ 4 keeps the MAC count S·C·N profitable vs the loop; N ≤
-    # 16384 bounds the (ts, N/128·C) W tile in VMEM; S ≥ 32k is where the
-    # kernel overtakes the loop.
-    if C <= 4 and N % 128 == 0 and N <= 16384 and S >= 32768:
+    # == 0; S ≥ 32k is where the kernel overtakes the loop; the MAC count
+    # scales with (N/128)·C·S, so wider channels are admitted only at
+    # smaller tables — C ≤ 4 up to N=16384 (fusion/loss gathers), C ≤ 64 at
+    # N ≤ 2048 (the up-level cross/bid/fe gathers, H·C ≤ 1024 keeps the
+    # accumulator + W tile comfortably in VMEM).
+    if (
+        N % 128 == 0
+        and S >= 32768
+        and (C <= 4 and N <= 16384 or C <= 64 and N <= 2048)
+    ):
         from mocopci_tpu.ops.pallas.scatter_bucket import bucket_scatter_add
 
         def tpu_scatter(g2, i2):

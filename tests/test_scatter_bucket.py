@@ -36,6 +36,8 @@ def _oracle(v, idx, n):
         (2048, 256, 1),   # single channel
         (1500, 384, 4),   # C=4, non-power-of-two N (multiple of 128)
         (700, 128, 2),    # single radix bucket (H*C small -> ts > S)
+        (1024, 256, 64),  # wide channels (cross/bid/fe gather backwards)
+        (900, 384, 35),   # wide C, non-power-of-two C and N
     ],
 )
 def test_matches_scatter_oracle_f32(rng, S, N, C):

@@ -42,12 +42,18 @@ def main() -> None:
 
     ds = SyntheticInterpolationDataset(length=n_samples, num_points=npoints, seed=1)
 
-    def forward(v, a, b):
-        return model.apply(v, a, b, train=False, deterministic=True)["out"]
-
     preds, lat = {}, {}
     for mode in ("approx", "exact"):
-        ops.set_knn_mode(mode)           # read at trace time -> fresh jit
+        ops.set_knn_mode(mode)           # read at trace time
+
+        # a FRESH function object per mode: jax.jit's trace cache is keyed
+        # on function identity GLOBALLY, so jit-ing the same `forward` again
+        # after flipping the mode silently reuses the first mode's program
+        # (caught round 4: the compare reported 0.0 between modes while the
+        # kernel-level recall was 0.987)
+        def forward(v, a, b, _mode=mode):
+            return model.apply(v, a, b, train=False, deterministic=True)["out"]
+
         fwd = jax.jit(forward)
         outs, times = [], []
         for i in range(n_samples):

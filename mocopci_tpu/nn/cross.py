@@ -85,14 +85,18 @@ def _cross_core(
     )                                                         # (B,N1,C)
 
     cdt = compute_dtype()
-    if len(mlp) == 1 and cdt == jnp.float32:
+    if len(mlp) == 1 and cdt == jnp.float32 and xyz1.shape[1] >= 1024:
         # every live call site (bid/fe at up_1/up_2, cross3) has exactly one
         # post-gather ConvLReLU — on TPU the add→leaky→dense→leaky→max tail
         # runs as ONE fused Pallas sweep per direction (k-major rows, the
         # running max never leaves VMEM; custom VJP recomputes tiles instead
         # of materializing the (B, N1, k, C) activations — see
-        # ops/pallas/cross_tail.py).  The XLA twin below is the same
-        # arithmetic and serves CPU + the bf16/multi-layer fallback.
+        # ops/pallas/cross_tail.py).  Gated to N1 ≥ 1024: measured wins only
+        # at the up_1 shape (6.26→6.02 ms fwd+bwd); at cross3 (S=256) the
+        # fused path LOSES 0.6 ms and at up_2 the eval forward is 0.5 ms
+        # worse (scripts/cross_tail_check.py) — small grids don't amortize
+        # the sweep.  The XLA twin below is the same arithmetic and serves
+        # CPU + the bf16/multi-layer/small-N fallback.
         _ = mlp[0](jnp.zeros((1, 1, tab.shape[-1]), cdt))     # create params
         cp = mlp[0].variables["params"]["conv"]
         w1 = cp["kernel"].astype(jnp.float32)

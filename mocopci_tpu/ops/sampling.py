@@ -198,13 +198,15 @@ def _flat_row_gather_bwd(res, g):
     # ``ops/pallas/scatter_bucket.py``).  Gates: lane-radix needs N % 128
     # == 0; S ≥ 32k is where the kernel overtakes the loop; the MAC count
     # scales with (N/128)·C·S, so wider channels are admitted only at
-    # smaller tables — C ≤ 4 up to N=16384 (fusion/loss gathers), C ≤ 64 at
-    # N ≤ 2048 (the up-level cross/bid/fe gathers, H·C ≤ 1024 keeps the
-    # accumulator + W tile comfortably in VMEM).
+    # smaller tables — C ≤ 4 up to N=16384 (fusion/loss gathers), C ≤ 160
+    # at N ≤ 2048 (the up-level cross/bid/fe gathers at C=64/128 and the
+    # point-transformer's [xyz|k|v] table at C=131: H·C ≤ 2560 keeps the
+    # accumulator + W tile in VMEM and the MACs ~0.2 ms vs 1-2 ms of
+    # XLA scatter).
     if (
         N % 128 == 0
         and S >= 32768
-        and (C <= 4 and N <= 16384 or C <= 64 and N <= 2048)
+        and (C <= 4 and N <= 16384 or C <= 160 and N <= 2048)
     ):
         from mocopci_tpu.ops.pallas.scatter_bucket import bucket_scatter_add
 

@@ -296,8 +296,13 @@ def _emit(state) -> None:
         file=sys.stderr,
     )
     if pairs_per_sec is None:
-        # headline section failed: fall back to b2 throughput if present, else 0
+        # headline section failed: fall back to b2 throughput if present, else
+        # 0 — and tag the record so downstream comparisons know the headline
+        # is a differently-defined metric (b2 throughput, not b1 latency⁻¹)
         pairs_per_sec = extras.get("pairs_per_sec_b2", 0.0)
+        extras["pairs_per_sec_source"] = (
+            "b2_fallback" if "pairs_per_sec_b2" in extras else "failed"
+        )
     print(
         json.dumps(
             {

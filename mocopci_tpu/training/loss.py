@@ -29,7 +29,10 @@ def gt_pyramid(gt: jax.Array, cfg: ModelConfig) -> Tuple[jax.Array, ...]:
     the first m picks of an n-point run ARE the m-point run.  All levels
     sample from the full-resolution cloud here, so ONE kernel launch at the
     largest level and index-prefix slices replace the three separate FPS
-    launches (identical outputs; the B=2 train trace spent 15 ms on the
+    launches (identical up to FPS tie-breaking on degenerate clouds: the
+    max-npoint launch can engage the split layout, whose documented mod-128
+    argmax tie-break can deviate from the plain layout on exactly-tied
+    distances, e.g. duplicated points; the B=2 train trace spent 15 ms on the
     three-launch version's kernels + gathers)."""
     B, F, N, _ = gt.shape
     flat = gt.reshape(B * F, N, 3)

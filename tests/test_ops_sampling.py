@@ -51,8 +51,10 @@ def test_fps_pallas_sublane_split_matches_oracle(rng):
     # roll-butterfly winner tournament.  Small npoint keeps the XLA:CPU
     # interpret compile fast; indices must still be EXACTLY the oracle's on
     # non-degenerate clouds.
+    from mocopci_tpu.ops.pallas import fps as fps_mod
     from mocopci_tpu.ops.pallas.fps import _split_factor, set_fps_split
 
+    prev = fps_mod._SPLIT_ENABLED
     set_fps_split(True)
     try:
         for B, N, npt in [(1, 256, 8), (3, 256, 9), (2, 512, 8)]:
@@ -63,7 +65,7 @@ def test_fps_pallas_sublane_split_matches_oracle(rng):
             )
             np.testing.assert_array_equal(got, _np_fps(xyz, npt))
     finally:
-        set_fps_split(True)  # restore the default; clears split-jit cache
+        set_fps_split(prev)  # restore the pre-test value; clears split-jit cache
 
 
 def test_fps_covers_cloud(rng):
@@ -163,6 +165,7 @@ def test_fps_pyramid_pallas_split_matches_sequential(rng, monkeypatch):
     from mocopci_tpu.ops.pallas import fps as fps_mod
 
     monkeypatch.setattr(fps_mod, "_SPLIT_MIN_NPOINT", 1)
+    prev = fps_mod._SPLIT_ENABLED
     fps_mod.set_fps_split(True)
     try:
         xyz = rng.normal(size=(2, 512, 3)).astype(np.float32)
@@ -177,7 +180,7 @@ def test_fps_pyramid_pallas_split_matches_sequential(rng, monkeypatch):
             np.testing.assert_array_equal(np.asarray(g), want)
             pc = np.take_along_axis(pc, want[..., None], axis=1)
     finally:
-        fps_mod.set_fps_split(True)  # restore default + clear caches
+        fps_mod.set_fps_split(prev)  # restore the pre-test value + clear caches
 
 
 def test_fps_pyramid_dispatch_cpu_matches_sequential(rng):

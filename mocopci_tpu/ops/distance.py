@@ -200,7 +200,29 @@ def _knn_dispatch(metric: str, dist_fn, k: int, ref: jax.Array, query: jax.Array
     XLA default)."""
     k = min(k, ref.shape[1])
     if _KNN_MODE != "approx":
-        return _select_blocked(dist_fn, k, ref, query)
+        from mocopci_tpu.ops.pallas.knn import EXACT_MAX_M, exact_knn_pallas
+
+        if ref.shape[1] > EXACT_MAX_M:
+            return _select_blocked(dist_fn, k, ref, query)
+
+        def tpu_exact(ref, query):
+            if metric == "cosine":
+                query = query * jax.lax.rsqrt(
+                    jnp.sum(query * query, axis=-1, keepdims=True) + 1e-8
+                )
+                ref = ref * jax.lax.rsqrt(
+                    jnp.sum(ref * ref, axis=-1, keepdims=True) + 1e-8
+                )
+            return exact_knn_pallas(
+                jax.lax.stop_gradient(query), jax.lax.stop_gradient(ref), k, metric
+            )
+
+        def default_exact(ref, query):
+            return _select_blocked(dist_fn, k, ref, query)
+
+        return jax.lax.platform_dependent(
+            ref, query, tpu=tpu_exact, default=default_exact
+        )
 
     def tpu_path(ref, query):
         from mocopci_tpu.ops.pallas.knn import fused_knn_pallas

@@ -119,3 +119,74 @@ def test_fused_knn_pallas_cosine_mxu_path(rng):
     want = _exact_knn(feats_q, feats_r, 5, "cosine")
     for n in range(50):
         assert set(got[0, n]) == set(want[0, n])
+
+
+# ---------------------------------------------------------------------------
+# Exact-mode Pallas kernel: must match lax.top_k set AND order, incl. ties.
+# ---------------------------------------------------------------------------
+
+def _topk_oracle(q, ref, k, metric="euclidean"):
+    """lax.top_k over the f32 distance matrix — set and tie-break oracle."""
+    import jax
+
+    if metric == "euclidean":
+        d = D.square_distance(jnp.asarray(q), jnp.asarray(ref))
+    else:
+        d = D.cosine_distance(jnp.asarray(q), jnp.asarray(ref))
+    _, idx = jax.lax.top_k(-d, k)
+    return np.asarray(idx)
+
+
+def test_exact_knn_pallas_multi_tile_matches_topk(rng):
+    # tr=128 forces the streaming path; M=300 exercises the padding mask
+    from mocopci_tpu.ops.pallas.knn import exact_knn_pallas
+
+    q = rng.normal(size=(2, 70, 3)).astype(np.float32)
+    ref = rng.normal(size=(2, 300, 3)).astype(np.float32)
+    got = np.asarray(exact_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 9,
+                                      tr=128, interpret=True))
+    want = _topk_oracle(q, ref, 9)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_knn_pallas_tie_break_matches_topk(rng):
+    # duplicated reference points create exact f32 distance ties; the
+    # lexicographic (d, col) extraction must pick the lower index first,
+    # exactly like lax.top_k
+    from mocopci_tpu.ops.pallas.knn import exact_knn_pallas
+
+    base = rng.normal(size=(1, 100, 3)).astype(np.float32)
+    ref = np.concatenate([base, base[:, :50], base[:, :25]], axis=1)  # M=175
+    q = rng.normal(size=(1, 40, 3)).astype(np.float32)
+    got = np.asarray(exact_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 8,
+                                      tr=128, interpret=True))
+    want = _topk_oracle(q, ref, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_knn_pallas_cosine_mxu(rng):
+    from mocopci_tpu.ops.pallas.knn import exact_knn_pallas
+
+    fq = rng.normal(size=(1, 50, 32)).astype(np.float32)
+    fr = rng.normal(size=(1, 260, 32)).astype(np.float32)
+    qn = fq / (np.linalg.norm(fq, axis=-1, keepdims=True) + 1e-8)
+    rn = fr / (np.linalg.norm(fr, axis=-1, keepdims=True) + 1e-8)
+    got = np.asarray(exact_knn_pallas(jnp.asarray(qn), jnp.asarray(rn), 6,
+                                      "cosine", tr=128, interpret=True))
+    want = _topk_oracle(qn, rn, 6, "cosine")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_mode_dispatch_cpu_matches_dense(rng):
+    # set_knn_mode("exact") on CPU routes to the blocked XLA merge; the
+    # result must equal the dense exact top-k
+    D.set_knn_mode("exact")
+    try:
+        ref = jnp.asarray(rng.normal(size=(1, 300, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(1, 80, 3)).astype(np.float32))
+        got = np.asarray(ops.knn(5, ref, q))
+        want = _topk_oracle(q, ref, 5)
+        for n in range(80):
+            assert set(got[0, n]) == set(want[0, n])
+    finally:
+        D.set_knn_mode("approx")

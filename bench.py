@@ -224,6 +224,33 @@ def main() -> None:
 
     _section("train_step", sec_train)
 
+    # bf16-activation training step (params/optimizer stay f32; convergence
+    # A/B vs f32 in runs/converge_r5_bf16_* — see DESIGN §3e)
+    def sec_train_bf16():
+        from mocopci_tpu.nn.basic import set_compute_dtype
+        from mocopci_tpu.training import create_train_state, train_step
+
+        # train_step's own jit cache is NOT keyed on the compute-dtype global
+        # — trace the unwrapped function so bfloat16 is actually picked up
+        raw_step = getattr(train_step, "__wrapped__", train_step)
+        tcfg = TrainConfig()
+        try:
+            set_compute_dtype("bfloat16")
+            _, tstate = create_train_state(cfg, tcfg, steps_per_epoch=32)
+            step_rng = jax.random.PRNGKey(1)
+            batch = {"pc1": x1, "pc2": x2, "gt": gt}
+
+            def one_step(tstate, batch):
+                new_state, aux = raw_step(tstate, batch, step_rng, cfg, tcfg)
+                return new_state.params, aux["loss"]
+
+            t = _time(jax.jit(one_step), tstate, batch, iters=5, warmup=2)
+            extras["train_step_ms_b2_bf16"] = round(t * 1e3, 1)
+        finally:
+            set_compute_dtype("float32")
+
+    _section("train_step_bf16", sec_train_bf16)
+
     # dense-stress forwards (BASELINE config 5): blocked kNN / chunked
     # attention engage automatically at these sizes
     def sec_stress(n):

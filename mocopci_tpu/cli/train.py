@@ -45,6 +45,17 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of steps 3-8 of epoch 1")
     p.add_argument("--tensorboard", type=str, default="",
                    help="write TensorBoard event files to this directory")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize decoder-stage activations in the "
+                        "backward pass (jax.checkpoint) — cuts peak XLA "
+                        "temporary memory at stress sizes for a step-time "
+                        "cost (see runs/remat_32k.json)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each global batch into K sequential "
+                        "micro-batches with mean-combined gradients — "
+                        "reproduces the reference's global-batch recipe on "
+                        "fewer chips than batch elements and bounds "
+                        "activation memory at stress sizes")
     p.add_argument("--knn_mode", type=str, default="approx",
                    choices=["approx", "exact"])
     p.add_argument("--knn_recall", type=float, default=0.95)
@@ -100,7 +111,9 @@ def main(argv=None):
     model_cfg = tiny_model_config(args.npoints) if args.tiny else ModelConfig(
         npoints=args.npoints
     )
-    model_cfg = dataclasses.replace(model_cfg, t_forward=t_f, t_backward=t_b)
+    model_cfg = dataclasses.replace(
+        model_cfg, t_forward=t_f, t_backward=t_b, remat=args.remat
+    )
     if args.batch_policy == "per_device":
         global_batch, mesh = scale_batch_to_mesh(args.batch_size)
         print(
@@ -111,12 +124,18 @@ def main(argv=None):
     else:
         global_batch = args.batch_size
         mesh = make_mesh_for_batch(global_batch)
+    if global_batch % max(args.grad_accum, 1) != 0:
+        raise SystemExit(
+            f"--batch_size {global_batch} must be divisible by "
+            f"--grad_accum {args.grad_accum}"
+        )
     train_cfg = TrainConfig(
         batch_size=global_batch,
         epochs=args.epochs,
         lr=args.lr,
         weight_decay=args.weight_decay,
         seed=args.seed,
+        grad_accum=max(args.grad_accum, 1),
     )
 
     if args.synthetic:

@@ -87,6 +87,11 @@ class ModelConfig:
     drop_path: float = 0.04
     # refine head downsample size (``PointConvD(2048, ...)``, ``mocopci.py:762``)
     refine_npoint: int = 2048
+    # rematerialize the decoder stages (multi_frame_up_1/2, refine, fusion)
+    # under autodiff: activations are recomputed in the backward pass instead
+    # of living in HBM across it — trades step time for the XLA temporary
+    # buffers that dominate memory at 16k-32k stress sizes (runs/remat_32k.json)
+    remat: bool = False
 
     @property
     def levels(self) -> Tuple[int, int, int, int, int]:
@@ -118,6 +123,12 @@ class TrainConfig:
     alpha: Tuple[float, float, float, float] = (1.0, 0.8, 0.4, 0.2)
     w_straight: float = 0.5
     w_multi: float = 0.25
+    # gradient accumulation: the global batch is split into grad_accum
+    # sequential micro-batches, gradients mean-combined before the single
+    # optimizer update — reproduces the reference's global-batch-2 recipe
+    # (``train.py:58``) on meshes with fewer chips than batch elements, and
+    # bounds activation memory in the 16k-32k stress configs
+    grad_accum: int = 1
 
 
 def stress_model_config(npoints: int) -> ModelConfig:

@@ -287,7 +287,14 @@ class MultiFrameEstimator(nn.Module):
         self.cross_block3 = CrossFrameBlock(
             dim=c3, attn_drop=cfg.attn_drop, drop=cfg.proj_drop, name="cross_block3"
         )
-        self.multi_frame_up_2 = MultiframeAttention(
+        # flag-gated decoder rematerialization: recompute these stages'
+        # activations in the backward pass (jax.checkpoint via nn.remat).
+        # static_argnums index from self=0: t (tuple of floats), train,
+        # deterministic drive Python control flow inside the stage
+        mfa_cls = MultiframeAttention
+        if cfg.remat:
+            mfa_cls = nn.remat(MultiframeAttention, static_argnums=(10, 11, 12))
+        self.multi_frame_up_2 = mfa_cls(
             feat_ch=c2,
             latent_ch=c1 + c1 * 4,
             mlp1=(c2, c2),
@@ -298,7 +305,7 @@ class MultiFrameEstimator(nn.Module):
             drop_path=cfg.drop_path,
             name="multi_frame_up_2",
         )
-        self.multi_frame_up_1 = MultiframeAttention(
+        self.multi_frame_up_1 = mfa_cls(
             feat_ch=c1,
             latent_ch=c1 + c0 * 4,
             mlp1=(c1, c1),
@@ -645,8 +652,19 @@ class MultiFrameEstimator(nn.Module):
         flows = jnp.concatenate(
             [up_frame0_f[:, 0], up_frame0_f[:, 1], up_frame0_b[:, 2]], axis=0
         )
-        refine_out = self._refine(feat0, base, flows, train)
-        fused = self._fusion(base, refine_out, F, train)      # (3B, N, 3)
+        if cfg.remat:
+            # method-form remat: the unbound method takes the module at arg 0,
+            # so `train` is static argnum 4 (and n_groups 3 for _fusion)
+            refine_fn = lambda *a: nn.remat(
+                type(self)._refine, static_argnums=(4,)
+            )(self, *a)
+            fusion_fn = lambda *a: nn.remat(
+                type(self)._fusion, static_argnums=(3, 4)
+            )(self, *a)
+        else:
+            refine_fn, fusion_fn = self._refine, self._fusion
+        refine_out = refine_fn(feat0, base, flows, train)
+        fused = fusion_fn(base, refine_out, F, train)         # (3B, N, 3)
         out = jnp.stack([fused[i * B : (i + 1) * B] for i in range(F)], axis=1)
 
         result = {"out": out}                                 # (B, 3, N, 3)

@@ -152,6 +152,50 @@ def _chunked_mha(q, k, v, scale):
     return out[:, :, :N]
 
 
+def _chunked_mha_dropout(q, k, v, scale, rate, key):
+    """Memory-bounded TRAIN attention: query chunks + per-chunk dropout.
+
+    Same blockwise structure as ``_chunked_mha`` but with the softmax-matrix
+    dropout applied inside each chunk from a key folded with the chunk index —
+    statistically identical to flax ``nn.Dropout`` on the dense matrix, not
+    bit-equal (same caveat as the Pallas train kernel's counter hash).  This
+    is what makes stress-size (M > MAX_SEQ) *training* fit in HBM: the dense
+    path materializes a (B, F, H, N, M) f32 matrix (10.7 GB at the 32k
+    config's L1) three times over in the fwd+bwd program.
+    """
+    B, F, N, H, D = q.shape
+    M = k.shape[2]
+    chunk = max(_DENSE_ATTN_LIMIT // M, 128)
+    keep = 1.0 - rate
+
+    # jax.checkpoint: without it, autodiff of the lax.map saves each chunk's
+    # (B, F, H, chunk, M) softmax matrix as a scan residual — re-materializing
+    # the full dense matrix across chunks in the backward.  Recomputing the
+    # chunk attention from (qb, k, v, key) is the point of this path.
+    @jax.checkpoint
+    def attend(qb, kb):  # (B, F, chunk, H, D), key
+        attn = jax.nn.softmax(
+            jnp.einsum("bfnhd,bfmhd->bfhnm", qb, k,
+                       preferred_element_type=jnp.float32) * scale, axis=-1
+        )
+        if rate > 0.0:
+            mask = jax.random.bernoulli(kb, keep, attn.shape)
+            attn = jnp.where(mask, attn / keep, 0.0)
+        return jnp.einsum("bfhnm,bfmhd->bfnhd", attn.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    if N <= chunk:
+        return attend(q, key)
+    nb = -(-N // chunk)
+    pad = nb * chunk - N
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    qc = qp.reshape(B, F, nb, chunk, H, D).transpose(2, 0, 1, 3, 4, 5)
+    keys = jax.random.split(key, nb)
+    out = jax.lax.map(lambda t: attend(*t), (qc, keys))
+    out = out.transpose(1, 2, 0, 3, 4, 5).reshape(B, F, nb * chunk, H, D)
+    return out[:, :, :N]
+
+
 class CrossAttention(nn.Module):
     """Standard multi-head cross attention (ref ``mocopci.py:58-86``)."""
 
@@ -182,6 +226,11 @@ class CrossAttention(nn.Module):
             out = _sdpa_train(
                 q, k, v, hd ** -0.5, self.drop, _dropout_seed(self, self.drop)
             ).reshape(B, N, C)
+        elif not deterministic and N * M > _DENSE_ATTN_LIMIT:
+            out = _chunked_mha_dropout(
+                q[:, None], k[:, None], v[:, None], hd ** -0.5, self.drop,
+                self.make_rng("dropout"),
+            )[:, 0].reshape(B, N, C)
         else:
             # logits accumulate in f32; softmax in f32; dropout needs the matrix
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -374,6 +423,14 @@ class MultiFrameBlock(nn.Module):
             out = _sdpa_train(
                 q, k, v, hd ** -0.5, self.attn_drop,
                 _dropout_seed(self, self.attn_drop),
+            ).reshape(B, F, N, C)
+        elif not deterministic and N * M > _DENSE_ATTN_LIMIT:
+            # stress-size training off-TPU or beyond the kernel's MAX_SEQ:
+            # blockwise with per-chunk dropout — the dense matrix would be
+            # 10.7 GB at the 32k config's L1
+            out = _chunked_mha_dropout(
+                q, k, v, hd ** -0.5, self.attn_drop,
+                self.make_rng("dropout"),
             ).reshape(B, F, N, C)
         else:
             attn = jnp.einsum("bfnhd,bfmhd->bfhnm", q, k,

@@ -94,20 +94,53 @@ def train_step(
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """batch: {'pc1': (B,N,3), 'pc2': (B,N,3), 'gt': (B,F,N,3)}."""
 
-    def loss_fn(params):
+    def loss_fn(params, batch_stats, mb, mb_rng):
         result, mut = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["pc1"],
-            batch["pc2"],
+            {"params": params, "batch_stats": batch_stats},
+            mb["pc1"],
+            mb["pc2"],
             train=True,
             deterministic=False,
-            rngs={"dropout": rng},
+            rngs={"dropout": mb_rng},
             mutable=["batch_stats"],
         )
-        total, aux = mocopci_loss(result, batch["gt"], model_cfg, train_cfg)
+        total, aux = mocopci_loss(result, mb["gt"], model_cfg, train_cfg)
         return total, (aux, mut)
 
-    (_, (aux, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    K = train_cfg.grad_accum
+    if K <= 1:
+        (_, (aux, mut)), grads = grad_fn(state.params, state.batch_stats, batch, rng)
+    else:
+        # split the global batch into K sequential micro-batches; mean-combine
+        # the gradients so one optimizer update sees the full-batch gradient.
+        # Activation memory then scales with B/K, not B — together with the
+        # reference recipe's global batch 2 this reproduces that recipe on a
+        # single chip at stress sizes (DESIGN.md §3c).  BatchNorm batch stats
+        # are computed per micro-batch and chained through the scan (the EMA
+        # update applies K times per step — the same semantics as K plain
+        # steps, and the standard grad-accumulation BN behaviour).
+        B = batch["pc1"].shape[0]
+        assert B % K == 0, f"batch size {B} not divisible by grad_accum {K}"
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((K, B // K) + x.shape[1:]), batch
+        )
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, mb_and_rng):
+            batch_stats, acc = carry
+            mb, mb_rng = mb_and_rng
+            (_, (aux, mut)), g = grad_fn(state.params, batch_stats, mb, mb_rng)
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+            return (mut["batch_stats"], acc), aux
+
+        rngs = jax.random.split(rng, K)
+        (bs_final, grads), aux_k = jax.lax.scan(
+            body, (state.batch_stats, zero_grads), (micro, rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / K, grads)
+        aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), aux_k)
+        mut = {"batch_stats": bs_final}
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(

@@ -290,6 +290,18 @@ def main() -> None:
         extras["emd_8192_ms"] = round(
             _time(emd_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1
         )
+        # fast-exp variant (ops.set_emd_fast; tolerance test bounds the
+        # metric shift < 0.1% — tests/test_ops_losses.py)
+        ops.set_emd_fast(True)
+        try:
+            fast_fn = jax.jit(
+                lambda a, b: ops.earth_mover_distance_auto(a, b)[0]
+            )
+            extras["emd_8192_ms_fast"] = round(
+                _time(fast_fn, x1[:1], x2[:1], iters=5, warmup=2) * 1e3, 1
+            )
+        finally:
+            ops.set_emd_fast(False)
 
     _section("emd_8192", sec_emd)
 

@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation dtype for attention/grouped-MLP paths")
+    p.add_argument("--emd_fast", action="store_true",
+                   help="fast-exp EMD kernel (metric shift < 0.1%%, see "
+                        "ops.set_emd_fast) — halves the EMD share of eval")
     return p.parse_args(argv)
 
 
@@ -55,6 +58,8 @@ def main(argv=None):
     from mocopci_tpu.training import CheckpointManager, create_train_state, eval_step
 
     ops.set_knn_mode(args.knn_mode, args.knn_recall)
+    if args.emd_fast:
+        ops.set_emd_fast(True)
     from mocopci_tpu.nn import set_compute_dtype
 
     set_compute_dtype(args.compute_dtype)

@@ -25,6 +25,7 @@ from mocopci_tpu.ops.emd import (
     earth_mover_distance_blocked,
     emd,
     match_cost,
+    set_emd_fast,
 )
 from mocopci_tpu.ops.interpolate import (
     point_warp,
@@ -60,6 +61,7 @@ __all__ = [
     "earth_mover_distance_blocked",
     "emd",
     "match_cost",
+    "set_emd_fast",
     "point_warp",
     "three_interpolate",
     "three_nn",

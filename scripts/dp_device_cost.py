@@ -62,13 +62,18 @@ def _collective_census(hlo_text: str):
 
 
 def main(out="runs/dp_device_cost.json", npoints=64, per_device_batch=1):
+    npoints = int(npoints)
+    per_device_batch = int(per_device_batch)
+    sizes = tuple(
+        int(s) for s in os.environ.get("MOCOPCI_DP_SIZES", "1,2,4,8").split(",")
+    )
     cfg = tiny_model_config(npoints)
     tcfg = TrainConfig(lr=1e-3)
     _, state0 = create_train_state(cfg, tcfg, steps_per_epoch=1)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state0.params))
     rng = np.random.default_rng(0)
     rows = []
-    for n_data in (1, 2, 4, 8):
+    for n_data in sizes:
         B = per_device_batch * n_data
         mesh = make_mesh(n_data=n_data, n_model=1)
         batch = shard_batch(mesh, {

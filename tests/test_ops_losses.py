@@ -209,3 +209,45 @@ class TestBlockedEMD:
             blocked, np.mean(dense2) / 297, rtol=1e-4
         )
         assert np.isfinite(dense)
+
+
+def test_emd_fast_exp_tolerance(rng):
+    """Fast-exp EMD (set_emd_fast) shifts the metric by < 0.1% on both the
+    dense and the blocked path, and the fast exp itself is accurate to the
+    documented 1.9e-4 bound."""
+    import sys
+
+    import mocopci_tpu.ops.emd  # noqa: F401 — ensure module is loaded
+
+    E = sys.modules["mocopci_tpu.ops.emd"]
+
+    E.set_emd_fast(True)
+    try:
+        x = jnp.asarray(-np.logspace(-6, 2.2, 2000, dtype=np.float32))
+        got = np.asarray(E._exp_kernel(x))
+        want = np.exp(np.asarray(x))
+        nz = want > 1e-30
+        assert np.abs(got[nz] / want[nz] - 1).max() < 2.5e-4
+        # deep-underflow tail flushes to exactly 0, no bitcast garbage
+        assert float(E._exp_kernel(jnp.float32(-1e8))) == 0.0
+    finally:
+        E.set_emd_fast(False)
+
+    worst = 0.0
+    for trial in range(3):
+        a = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32) * 10)
+        b = jnp.asarray(
+            a + rng.normal(size=(2, 512, 3)).astype(np.float32) * 0.5
+        )
+        E.set_emd_fast(False)
+        exact = np.asarray(E.earth_mover_distance(a, b))
+        exact_blk = np.asarray(E._emd_blocked(a, b))
+        E.set_emd_fast(True)
+        try:
+            fast = np.asarray(E.earth_mover_distance(a, b))
+            fast_blk = np.asarray(E._emd_blocked(a, b))
+        finally:
+            E.set_emd_fast(False)
+        worst = max(worst, float(np.abs(fast / exact - 1).max()),
+                    float(np.abs(fast_blk / exact_blk - 1).max()))
+    assert worst < 1e-3, worst  # measured ~4e-5; 0.1% is the contract

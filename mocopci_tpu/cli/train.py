@@ -66,6 +66,15 @@ def parse_args(argv=None):
                    help="multi-host training: jax.distributed.initialize() "
                         "over DCN (TPU pod slices); the (data, model) mesh "
                         "then spans all hosts' devices")
+    p.add_argument("--dp_impl", type=str, default="auto",
+                   choices=["auto", "shard_map", "spmd"],
+                   help="data-parallel executor: 'shard_map' runs the "
+                        "unmodified single-chip program per shard with "
+                        "explicit grad/stat pmeans (correct scaling for the "
+                        "Pallas kernels, which XLA's SPMD partitioner would "
+                        "otherwise replicate); 'spmd' is the declarative "
+                        "jit+sharding path; 'auto' = shard_map when the data "
+                        "axis > 1")
     p.add_argument("--batch_policy", type=str, default="global",
                    choices=["global", "per_device"],
                    help="'global': --batch_size is the global batch "
@@ -161,6 +170,22 @@ def main(argv=None):
     # shuffled) global batch; shard_batch reassembles the global arrays
     hsl = host_batch_slice(train_cfg.batch_size, mesh) if args.multihost else None
 
+    # data-parallel executor (see --dp_impl): shard_map keeps every Pallas
+    # kernel and flat gather shard-local; the declarative spmd path leaves
+    # partitioning to XLA (which replicates what it cannot partition —
+    # docs/DESIGN.md §3g)
+    use_shard_map = args.dp_impl == "shard_map" or (
+        args.dp_impl == "auto" and mesh.shape["data"] > 1
+    )
+    if use_shard_map:
+        from mocopci_tpu.training import make_sharded_train_step
+
+        step_fn = make_sharded_train_step(mesh, state.apply_fn, model_cfg, train_cfg)
+        print(f"dp_impl: shard_map over {mesh.shape['data']} data shard(s)")
+    else:
+        def step_fn(s, b, r):
+            return train_step(s, b, r, model_cfg, train_cfg)
+
     ckpt = CheckpointManager(os.path.join(args.save_dir, "ckpt"))
     start_epoch = 0
     if args.resume and ckpt.latest_epoch() is not None:
@@ -216,9 +241,7 @@ def main(argv=None):
             if args.profile_dir and epoch == start_epoch and count == 3:
                 jax.profiler.start_trace(args.profile_dir)
             rng, sub = jax.random.split(rng)
-            state, aux = train_step(
-                state, shard_batch(mesh, batch), sub, model_cfg, train_cfg
-            )
+            state, aux = step_fn(state, shard_batch(mesh, batch), sub)
             if args.profile_dir and epoch == start_epoch and count == 8:
                 jax.tree_util.tree_map(np.asarray, aux)
                 jax.profiler.stop_trace()

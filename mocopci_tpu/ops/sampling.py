@@ -225,13 +225,70 @@ def _flat_row_gather_bwd(res, g):
 _flat_row_gather.defvjp(_flat_row_gather_fwd, _flat_row_gather_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Batch-parallel gather mode for data-parallel meshes.
+#
+# The flat-index gather above folds the batch offset INTO the index values —
+# the fastest single-chip formulation, but opaque to the SPMD partitioner:
+# with the batch axis sharded it must all-gather the table and replicate all
+# downstream compute (measured on the 8-device virtual mesh: per-device
+# flops grow 1.72x from 1 -> 8 devices at the 256-pt tiny model, dominated
+# by 50 MB pair-row all-gathers — runs/dp_device_cost_256.json).  The
+# batched formulation keeps the batch dimension explicit (take_along_axis /
+# vmapped scatter), which XLA SPMD partitions as a parallel gather/scatter.
+# Trace-time switch, enabled by the train CLI when the data mesh axis > 1.
+# ---------------------------------------------------------------------------
+
+_BATCHED_GATHER = os.environ.get("MOCOPCI_BATCHED_GATHER") == "1"
+
+
+def set_batched_gather(enabled: bool) -> None:
+    """Batch-parallel gather/scatter formulation (trace-time switch)."""
+    global _BATCHED_GATHER
+    _BATCHED_GATHER = bool(enabled)
+
+
+@jax.custom_vjp
+def _batched_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    B, N, C = points.shape
+    i2 = jnp.clip(idx.reshape(B, -1), 0, N - 1)
+    out = jnp.take_along_axis(points, i2[..., None], axis=1)
+    return out.reshape(idx.shape + (C,))
+
+
+def _batched_row_gather_fwd(points, idx):
+    return _batched_row_gather(points, idx), (idx, points.shape)
+
+
+def _batched_row_gather_bwd(res, g):
+    idx, (B, N, C) = res
+    g2 = g.reshape(B, -1, C)
+    i2 = idx.reshape(B, -1)
+
+    def one(g_b, i_b):
+        return jnp.zeros((N, C), g2.dtype).at[i_b].add(
+            g_b, mode="drop", unique_indices=False
+        )
+
+    return jax.vmap(one)(g2, i2), None
+
+
+_batched_row_gather.defvjp(_batched_row_gather_fwd, _batched_row_gather_bwd)
+
+
+def _row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    if _BATCHED_GATHER:
+        return _batched_row_gather(points, idx)
+    return _flat_row_gather(points, idx)
+
+
 def gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows: (B, N, C) x (B, S) -> (B, S, C).
 
     Equivalent of ``index_points_gather`` (``models/pointconv_util.py:168-179``)
     without the channels-first round trip.
     """
-    return _flat_row_gather(points, idx.astype(jnp.int32))
+    return _row_gather(points, idx.astype(jnp.int32))
 
 
 def group(points: jax.Array, idx: jax.Array) -> jax.Array:
@@ -240,7 +297,7 @@ def group(points: jax.Array, idx: jax.Array) -> jax.Array:
     Equivalent of ``index_points_group`` (``models/pointconv_util.py:181-192``),
     the workhorse behind every kNN grouping in the reference.
     """
-    return _flat_row_gather(points, idx.astype(jnp.int32))
+    return _row_gather(points, idx.astype(jnp.int32))
 
 
 def group_multi(idx: jax.Array, *arrays: jax.Array):

@@ -4,6 +4,7 @@ from mocopci_tpu.training.loop import (
     create_train_state,
     eval_step,
     make_optimizer,
+    make_sharded_train_step,
     train_step,
 )
 from mocopci_tpu.training.loss import gt_pyramid, mocopci_loss

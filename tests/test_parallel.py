@@ -180,3 +180,116 @@ def test_sp_upsample_matches_dense():
     want = np.asarray(ops.upsample(dense, sparse, feat))
     got = np.asarray(upsample_sp(mesh, dense, sparse, feat))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_shard_map_dp_matches_single_device():
+    """The explicit-SPMD (shard_map) step == the single-device step.
+
+    FrameBatchNorm computes statistics per batch item (reference contract),
+    so with dropout disabled the only cross-batch coupling is the fusion
+    head's per-frame-group BatchNorm, whose statistics become per-shard
+    under shard_map — torch.nn.DataParallel's per-replica BN semantics, the
+    same thing the reference trains with on multi-GPU.  Tolerances below
+    bound that deviation; the n_data=1 case in the next test is exact.
+    """
+    import dataclasses
+
+    from mocopci_tpu.training import make_sharded_train_step
+
+    cfg = dataclasses.replace(
+        tiny_model_config(64), attn_drop=0.0, proj_drop=0.0, drop_path=0.0
+    )
+    tcfg = TrainConfig(lr=1e-3)
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=1)
+
+    rngn = np.random.default_rng(5)
+    B = 8
+    batch = {
+        "pc1": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "pc2": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "gt": rngn.normal(size=(B, 3, cfg.npoints, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(3)
+    s_single, aux_single = train_step(state, jb, rng, cfg, tcfg)
+
+    mesh = make_mesh()
+    step = make_sharded_train_step(mesh, state.apply_fn, cfg, tcfg)
+    sharded = shard_batch(mesh, batch)
+    state_r = jax.device_put(state, replicated(mesh))
+    s_sm, aux_sm = step(state_r, sharded, rng)
+
+    np.testing.assert_allclose(
+        float(aux_sm["loss"]), float(aux_single["loss"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["grad_norm"]), float(aux_single["grad_norm"]), rtol=2e-2
+    )
+    # batch stats: pmean of shard means == global mean for the per-item BNs;
+    # the fusion head's cross-batch BN contributes the small tolerance
+    for a, b in zip(jax.tree_util.tree_leaves(s_sm.batch_stats),
+                    jax.tree_util.tree_leaves(s_single.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=1e-3)
+
+
+def test_shard_map_dp_single_shard_exact():
+    """n_data=1 shard_map == plain train_step bit-for-bit (no BN deviation;
+    dropout off so the folded shard rng is irrelevant)."""
+    import dataclasses
+
+    from mocopci_tpu.training import make_sharded_train_step
+
+    cfg = dataclasses.replace(
+        tiny_model_config(64), attn_drop=0.0, proj_drop=0.0, drop_path=0.0
+    )
+    tcfg = TrainConfig(lr=1e-3)
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=1)
+    rngn = np.random.default_rng(9)
+    batch = {
+        "pc1": rngn.normal(size=(2, cfg.npoints, 3)).astype(np.float32),
+        "pc2": rngn.normal(size=(2, cfg.npoints, 3)).astype(np.float32),
+        "gt": rngn.normal(size=(2, 3, cfg.npoints, 3)).astype(np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(4)
+    _, aux_single = train_step(state, jb, rng, cfg, tcfg)
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    step = make_sharded_train_step(mesh, state.apply_fn, cfg, tcfg)
+    _, aux_sm = step(jax.device_put(state, replicated(mesh)),
+                     shard_batch(mesh, batch), rng)
+    np.testing.assert_allclose(
+        float(aux_sm["loss"]), float(aux_single["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(aux_sm["grad_norm"]), float(aux_single["grad_norm"]), rtol=1e-5
+    )
+
+
+def test_shard_map_dp_with_grad_accum():
+    """shard_map DP composes with grad_accum: per-shard micro-batching."""
+    import dataclasses
+
+    from mocopci_tpu.training import make_sharded_train_step
+
+    cfg = dataclasses.replace(
+        tiny_model_config(64), attn_drop=0.0, proj_drop=0.0, drop_path=0.0
+    )
+    tcfg = TrainConfig(lr=1e-3, grad_accum=2)
+    _, state = create_train_state(cfg, tcfg, steps_per_epoch=1)
+
+    rngn = np.random.default_rng(6)
+    B = 16  # 2 per shard -> micro-batches of 1
+    batch = {
+        "pc1": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "pc2": rngn.normal(size=(B, cfg.npoints, 3)).astype(np.float32),
+        "gt": rngn.normal(size=(B, 3, cfg.npoints, 3)).astype(np.float32),
+    }
+    mesh = make_mesh()
+    step = make_sharded_train_step(mesh, state.apply_fn, cfg, tcfg)
+    sharded = shard_batch(mesh, batch)
+    state_r = jax.device_put(state, replicated(mesh))
+    s1, aux = step(state_r, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert np.isfinite(float(aux["grad_norm"]))

@@ -180,6 +180,13 @@ def main(argv=None):
     if use_shard_map:
         from mocopci_tpu.training import make_sharded_train_step
 
+        per_shard = train_cfg.batch_size // mesh.shape["data"]
+        if per_shard % train_cfg.grad_accum != 0:
+            raise SystemExit(
+                f"under --dp_impl shard_map the PER-SHARD batch "
+                f"({train_cfg.batch_size}/{mesh.shape['data']} = {per_shard}) "
+                f"must be divisible by --grad_accum {train_cfg.grad_accum}"
+            )
         step_fn = make_sharded_train_step(mesh, state.apply_fn, model_cfg, train_cfg)
         print(f"dp_impl: shard_map over {mesh.shape['data']} data shard(s)")
     else:

@@ -1,0 +1,58 @@
+"""Summarize the round-5 matched-seed convergence A/B/C into one JSON.
+
+Reads runs/converge_r5_{f32,bf16,exact}_metrics.csv + the eval JSON logs and
+writes runs/converge_r5_summary.json with final/best loss_f, plateau means,
+epoch times, and held-out eval CD/EMD per variant.
+"""
+import json
+import os
+import sys
+
+BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def read_csv(path):
+    rows = []
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        for line in f:
+            vals = line.strip().split(",")
+            rows.append(dict(zip(header, (float(v) for v in vals))))
+    return rows
+
+
+def main():
+    out = {"protocol": "64 synthetic samples seed 0, B=2, 200 epochs, one "
+                       "v5e; variants differ ONLY in the tagged dimension",
+           "variants": {}}
+    for tag in ("f32", "bf16", "exact"):
+        csv = os.path.join(BASE, f"runs/converge_r5_{tag}_metrics.csv")
+        if not os.path.exists(csv):
+            continue
+        rows = read_csv(csv)
+        lf = [r["loss_f"] for r in rows]
+        rec = {
+            "epochs": len(rows),
+            "final_loss_f": round(lf[-1], 4),
+            "best_loss_f": round(min(lf), 4),
+            "plateau_mean_last30": round(sum(lf[-30:]) / min(30, len(lf)), 4),
+            "mean_epoch_time_s": round(
+                sum(r["epoch_time_s"] for r in rows) / len(rows), 2),
+        }
+        ev = os.path.join(BASE, f"runs/converge_r5_{tag}_eval.json.log")
+        if os.path.exists(ev):
+            for line in reversed(open(ev).read().splitlines()):
+                if line.startswith("{"):
+                    j = json.loads(line)
+                    rec["eval"] = {k: round(v, 4) for k, v in j.items()
+                                   if k.startswith(("cd_", "emd_"))}
+                    break
+        out["variants"][tag] = rec
+    path = os.path.join(BASE, "runs/converge_r5_summary.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,38 @@ def test_resume_with_changed_dataset_size_pins_lr_cadence(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "resumed from epoch 0" in r.stdout
     assert "steps_per_epoch changed 2 -> 4" in r.stdout
+
+
+def test_train_cli_round5_flags(tmp_path):
+    """--grad_accum + --remat + --dp_impl shard_map compose end-to-end."""
+    r = _run(
+        [
+            "train.py",
+            "--synthetic", "16",
+            "--tiny",
+            "--npoints", "64",
+            "--batch_size", "16",  # 8 shards x per-shard 2 -> micro-batches of 1
+            "--grad_accum", "2",
+            "--remat",
+            "--dp_impl", "shard_map",
+            "--epochs", "1",
+            "--save_dir", str(tmp_path),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dp_impl: shard_map" in r.stdout
+    assert "Epoch 1 finished" in r.stdout
+
+
+def test_eval_cli_emd_fast():
+    r = _run(
+        [
+            "test.py",
+            "--synthetic", "2",
+            "--tiny",
+            "--npoints", "64",
+            "--emd_fast",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Average: Mean earth mover's distance" in r.stdout

@@ -56,6 +56,11 @@ def supported(n: int, m: int) -> bool:
         t = min(tile, size)
         if size % t or t % 8:
             return False
+    # the colfold lane slice is addressed at multiples of the m-tile —
+    # Mosaic requires provable 128-lane alignment, so a sub-128 reference
+    # tile (tiny configs on hardware) cannot compile
+    if min(TM, m) % 128:
+        return False
     return True
 
 

@@ -190,3 +190,20 @@ def test_exact_mode_dispatch_cpu_matches_dense(rng):
             assert set(got[0, n]) == set(want[0, n])
     finally:
         D.set_knn_mode("approx")
+
+
+def test_exact_knn_pallas_fold_overflow_fallback(rng):
+    """>T=5 of the top-k in ONE column mod 128 trips the exactness flag and
+    the in-kernel fallback still returns the bit-exact top_k result."""
+    from mocopci_tpu.ops.pallas.knn import exact_knn_pallas
+
+    M = 1024
+    ref = rng.normal(size=(1, M, 3)).astype(np.float32) * 100  # far cloud
+    q = np.zeros((1, 8, 3), np.float32)
+    # 8 points in column residue 0 (mod 128), all near the origin queries
+    for j in range(8):
+        ref[0, j * 128] = 0.01 * j
+    got = np.asarray(exact_knn_pallas(jnp.asarray(q), jnp.asarray(ref), 8,
+                                      tr=128, interpret=True))
+    want = _topk_oracle(q, ref, 8)
+    np.testing.assert_array_equal(got, want)

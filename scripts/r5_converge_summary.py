@@ -31,14 +31,26 @@ def main():
             continue
         rows = read_csv(csv)
         lf = [r["loss_f"] for r in rows]
+        finite = [v for v in lf if v == v]
         rec = {
             "epochs": len(rows),
-            "final_loss_f": round(lf[-1], 4),
-            "best_loss_f": round(min(lf), 4),
-            "plateau_mean_last30": round(sum(lf[-30:]) / min(30, len(lf)), 4),
             "mean_epoch_time_s": round(
-                sum(r["epoch_time_s"] for r in rows) / len(rows), 2),
+                sum(r["epoch_time_s"] for r in rows if "epoch_time_s" in r)
+                / max(len(rows), 1), 2) if rows and "epoch_time_s" in rows[0]
+            else None,
         }
+        if len(finite) < len(lf):
+            rec["diverged"] = True
+            rec["nan_from_epoch"] = next(
+                i for i, v in enumerate(lf) if v != v)
+        if finite:
+            rec.update({
+                "final_loss_f": round(lf[-1], 4) if lf[-1] == lf[-1] else None,
+                "best_loss_f": round(min(finite), 4),
+                "plateau_mean_last30": round(
+                    sum(lf[-30:]) / min(30, len(lf)), 4)
+                if all(v == v for v in lf[-30:]) else None,
+            })
         ev = os.path.join(BASE, f"runs/converge_r5_{tag}_eval.json.log")
         if os.path.exists(ev):
             for line in reversed(open(ev).read().splitlines()):

@@ -39,7 +39,8 @@ def parse_args(argv=None):
                    help="activation dtype for attention/grouped-MLP paths")
     p.add_argument("--emd_fast", action="store_true",
                    help="fast-exp EMD kernel (metric shift < 0.1%%, see "
-                        "ops.set_emd_fast) — halves the EMD share of eval")
+                        "ops.set_emd_fast); measured NEUTRAL-to-slower on "
+                        "v5e at 8192^2 — kept as an experiment flag")
     return p.parse_args(argv)
 
 
